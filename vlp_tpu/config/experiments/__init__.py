@@ -1,0 +1,240 @@
+"""Built-in experiment matrix.
+
+Mirrors the reference 9-experiment matrix + pretrain + ablations
+(reference configs/experiment/**; results table reference README.md:138-150).
+Best hyperparameters come from the reference's tuned final configs, e.g.
+configs/experiment/baseline_only_imaging/
+baseline_only_imaging_best_resnet_34_with_STOSOP_augmentations_and_coral_k_fold.yaml:25-31.
+"""
+from vlp_tpu.config.core import Config, register_experiment
+
+
+# --------------------------------------------------------------------------
+# Supervised baselines — imaging only
+# --------------------------------------------------------------------------
+
+@register_experiment("baseline_only_imaging_resnet34")
+def baseline_only_imaging_resnet34(cfg: Config) -> Config:
+    """Imaging / Scratch ResNet34 (README row 1). Tuned: lr 1.2925748e-4,
+    batch 64, coral_lambda 1000, cosine-with-warmup."""
+    cfg.model.task = "only_imaging"
+    cfg.model.model = "resnet34"
+    cfg.model.coral_lambda = 1000.0
+    cfg.data.name = "downstream"
+    cfg.data.batch_size = 64
+    cfg.data.crop_larger_dimension = True  # STOSOP augmentations variant
+    cfg.optimizer.lr = 1.2925748e-4
+    cfg.scheduler.name = "cosine_warmup"
+    cfg.trainer.checkpoint_monitor = "val/combined/accuracy"
+    cfg.trainer.early_stopping_monitor = "val/combined/accuracy"
+    cfg.trainer.early_stopping_patience = 35
+    cfg.k_fold_cross_validation = True
+    return cfg
+
+
+@register_experiment("baseline_only_imaging_nest_small")
+def baseline_only_imaging_nest_small(cfg: Config) -> Config:
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.model.model = "nest_small"
+    cfg.model.coral_lambda = 0.0
+    return cfg
+
+
+@register_experiment("baseline_only_imaging_xrv_resnet50")
+def baseline_only_imaging_xrv_resnet50(cfg: Config) -> Config:
+    """Imaging / Torchxrayvision Finetune ResNet50. Tuned: lr 9.142907e-4,
+    batch 32, 1-channel, scale-intensity normalization (−1024..1024)."""
+    cfg.model.task = "only_imaging"
+    cfg.model.model = "resnet50-res512-all"
+    cfg.model.pretrained = True
+    cfg.data.name = "downstream"
+    cfg.data.batch_size = 32
+    cfg.data.in_channels = 1
+    cfg.data.scale_intensity_normalization = True
+    cfg.optimizer.lr = 9.142907e-4
+    cfg.scheduler.name = "cosine_warmup"
+    cfg.k_fold_cross_validation = True
+    return cfg
+
+
+# --------------------------------------------------------------------------
+# Supervised baselines — imaging + clinical late fusion
+# --------------------------------------------------------------------------
+
+@register_experiment("baseline_fusion_resnet34")
+def baseline_fusion_resnet34(cfg: Config) -> Config:
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.model.task = "fusion"
+    return cfg
+
+
+@register_experiment("baseline_fusion_nest_small")
+def baseline_fusion_nest_small(cfg: Config) -> Config:
+    cfg = baseline_fusion_resnet34(cfg)
+    cfg.model.model = "nest_small"
+    cfg.model.coral_lambda = 0.0
+    return cfg
+
+
+@register_experiment("fusion_xrv_resnet50")
+def fusion_xrv_resnet50(cfg: Config) -> Config:
+    cfg = baseline_only_imaging_xrv_resnet50(cfg)
+    cfg.model.task = "fusion"
+    return cfg
+
+
+# --------------------------------------------------------------------------
+# VLP pretraining
+# --------------------------------------------------------------------------
+
+def _pretrain_common(cfg: Config) -> Config:
+    cfg.model.task = "vision_language"
+    cfg.model.embedding_dim = 128
+    cfg.data.name = "pretrain"
+    cfg.data.batch_size = 128
+    cfg.data.shear_augmentation = True  # pretrain adds shear_range=[5,5]
+    cfg.optimizer.lr = 1e-3
+    cfg.scheduler.name = "cosine"
+    cfg.trainer.checkpoint_monitor = (
+        "downstream_validation/linear_probe_balanced_accuracy"
+    )
+    cfg.trainer.early_stopping_monitor = (
+        "downstream_validation/linear_probe_balanced_accuracy"
+    )
+    cfg.trainer.early_stopping_patience = 26
+    return cfg
+
+
+@register_experiment("pretrain_resnet34_distilbert")
+def pretrain_resnet34_distilbert(cfg: Config) -> Config:
+    cfg = _pretrain_common(cfg)
+    cfg.model.model = "resnet34"
+    cfg.model.text_model = "distilbert"
+    cfg.data.tokenizer = "distilbert"
+    return cfg
+
+
+@register_experiment("pretrain_resnet34_tinybert")
+def pretrain_resnet34_tinybert(cfg: Config) -> Config:
+    cfg = _pretrain_common(cfg)
+    cfg.model.model = "resnet34"
+    cfg.model.text_model = "tinybert"
+    cfg.data.tokenizer = "tinybert"
+    return cfg
+
+
+@register_experiment("pretrain_resnet18_tinybert")
+def pretrain_resnet18_tinybert(cfg: Config) -> Config:
+    cfg = _pretrain_common(cfg)
+    cfg.model.model = "resnet18"
+    cfg.model.text_model = "tinybert"
+    cfg.data.tokenizer = "tinybert"
+    return cfg
+
+
+@register_experiment("pretrain_resnet50_distilbert")
+def pretrain_resnet50_distilbert(cfg: Config) -> Config:
+    cfg = _pretrain_common(cfg)
+    cfg.model.model = "resnet50"
+    cfg.model.text_model = "distilbert"
+    cfg.data.tokenizer = "distilbert"
+    return cfg
+
+
+@register_experiment("pretrain_resnet18_tinybert_overfit")
+def pretrain_resnet18_tinybert_overfit(cfg: Config) -> Config:
+    """Capacity check: 1 epoch cap, augmentations off (reference
+    configs/experiment/pretrain/pretrain_resnet18_tinybert_overfit.yaml)."""
+    cfg = pretrain_resnet18_tinybert(cfg)
+    cfg.data.disable_augmentations = True
+    cfg.trainer.max_epochs = 100
+    cfg.data.try_with_only_n_samples = 100
+    return cfg
+
+
+# --------------------------------------------------------------------------
+# Transfer: linear probe / fine-tune from VLP checkpoints
+# --------------------------------------------------------------------------
+
+@register_experiment("vlp_linear_probe_resnet34")
+def vlp_linear_probe_resnet34(cfg: Config) -> Config:
+    """Imaging / VLP Linear Probe: frozen encoder + logistic-regression probe
+    (reference scripts/linear_probe_test_eval_downstream.py)."""
+    cfg.model.task = "only_imaging"
+    cfg.model.model = "resnet34"
+    cfg.model.freeze_encoder = True
+    cfg.model.pretrained_ckpt = "REQUIRED:path/to/vlp_checkpoint"
+    cfg.data.name = "downstream"
+    cfg.k_fold_cross_validation = True
+    return cfg
+
+
+@register_experiment("vlp_finetune_only_imaging_resnet34")
+def vlp_finetune_only_imaging_resnet34(cfg: Config) -> Config:
+    """Imaging / VLP Finetune. Tuned: lr 8.503173e-4, vision-encoder lr /10
+    (reference configs/experiment/finetune_imaging_and_clinical/..._different_lr_vision_encoder.yaml:24-36)."""
+    cfg.model.task = "only_imaging"
+    cfg.model.model = "resnet34"
+    cfg.model.pretrained_ckpt = "REQUIRED:path/to/vlp_checkpoint"
+    cfg.optimizer.lr = 8.503173e-4
+    cfg.model.vision_encoder_lr = 8.503173e-5
+    cfg.data.name = "downstream"
+    cfg.data.batch_size = 64
+    cfg.scheduler.name = "cosine_warmup"
+    cfg.k_fold_cross_validation = True
+    return cfg
+
+
+@register_experiment("vlp_finetune_fusion_resnet34")
+def vlp_finetune_fusion_resnet34(cfg: Config) -> Config:
+    cfg = vlp_finetune_only_imaging_resnet34(cfg)
+    cfg.model.task = "fusion"
+    return cfg
+
+
+# --------------------------------------------------------------------------
+# Ablations / smoke configs (reference only_20/only_100-sample variants)
+# --------------------------------------------------------------------------
+
+@register_experiment("baseline_only_imaging_resnet34_only_20_samples")
+def baseline_only_imaging_resnet34_only_20(cfg: Config) -> Config:
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.data.try_with_only_n_samples = 20
+    cfg.trainer.max_epochs = 1
+    cfg.k_fold_cross_validation = False
+    return cfg
+
+
+@register_experiment("baseline_only_imaging_resnet34_only_100_samples")
+def baseline_only_imaging_resnet34_only_100(cfg: Config) -> Config:
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.data.try_with_only_n_samples = 100
+    cfg.trainer.max_epochs = 1
+    cfg.k_fold_cross_validation = False
+    return cfg
+
+
+@register_experiment("smoke_synthetic_only_imaging")
+def smoke_synthetic_only_imaging(cfg: Config) -> Config:
+    """CI smoke: tiny synthetic downstream set, 1 epoch, small resnet."""
+    cfg.model.task = "only_imaging"
+    cfg.model.model = "resnet18"
+    cfg.data.name = "synthetic_downstream"
+    cfg.data.batch_size = 8
+    cfg.data.synthetic_num_samples = 32
+    cfg.trainer.max_epochs = 1
+    cfg.trainer.precision = "fp32"
+    return cfg
+
+
+@register_experiment("smoke_synthetic_pretrain")
+def smoke_synthetic_pretrain(cfg: Config) -> Config:
+    cfg = _pretrain_common(cfg)
+    cfg.model.model = "resnet18"
+    cfg.model.text_model = "tinybert"
+    cfg.data.name = "synthetic_pretrain"
+    cfg.data.batch_size = 8
+    cfg.data.synthetic_num_samples = 32
+    cfg.trainer.max_epochs = 1
+    cfg.trainer.precision = "fp32"
+    return cfg
