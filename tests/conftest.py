@@ -1,11 +1,29 @@
 """Test configuration: force an 8-device CPU platform so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md §4 implication)."""
+paths are exercised without TPU hardware (SURVEY.md §4 implication).
+
+IMPORTANT: this environment's sitecustomize registers the 'axon' remote-TPU
+PJRT plugin and force-sets jax_platforms="axon,cpu", overriding the
+JAX_PLATFORMS env var. Tests must run on LOCAL CPU (the tunneled TPU is a
+single shared chip; concurrent test processes wedge it), so we override the
+jax config directly before any backend initializes.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compile cache (single-core host: compiles dominate cold starts).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache", "cpu8"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must not touch the shared TPU"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -221,6 +221,8 @@ def smoke_synthetic_only_imaging(cfg: Config) -> Config:
     cfg.model.model = "resnet18"
     cfg.data.name = "synthetic_downstream"
     cfg.data.batch_size = 8
+    cfg.data.eval_batch_size = 8
+    cfg.data.image_size = 64  # small images: CI hosts compile serially
     cfg.data.synthetic_num_samples = 32
     cfg.trainer.max_epochs = 1
     cfg.trainer.precision = "fp32"
@@ -234,7 +236,15 @@ def smoke_synthetic_pretrain(cfg: Config) -> Config:
     cfg.model.text_model = "tinybert"
     cfg.data.name = "synthetic_pretrain"
     cfg.data.batch_size = 8
+    cfg.data.eval_batch_size = 8
+    cfg.data.image_size = 64
+    cfg.data.max_token_length = 16
     cfg.data.synthetic_num_samples = 32
+    cfg.downstream_data.name = "synthetic_downstream"
+    cfg.downstream_data.batch_size = 8
+    cfg.downstream_data.eval_batch_size = 8
+    cfg.downstream_data.image_size = 64
+    cfg.downstream_data.synthetic_num_samples = 32
     cfg.trainer.max_epochs = 1
     cfg.trainer.precision = "fp32"
     return cfg

@@ -1,0 +1,132 @@
+"""Host->device input pipeline: batch assembly + double-buffered prefetch.
+
+Replaces the reference's torch DataLoader worker pools (reference
+KFoldCVDataModule.py:24 num_workers): the heavy per-sample MONAI work is
+already gone (deterministic preprocessing is cached, augmentation runs
+on-device — vlp_tpu.ops.augment), so the host side only gathers uint8 rows
+out of a memory-mapped cache and stacks small metadata arrays. A background
+thread assembles and device_puts the next batches while the device computes
+(double buffering over the PCIe/ICI transfer).
+
+Batches are always exactly ``batch_size`` (final ragged batch padded +
+masked — XLA static shapes) and shardable along axis 0 of every array.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from vlp_tpu.data.preprocess_host import ImageCache
+from vlp_tpu.data.sampler import pad_batch_indices
+
+DATASET_IDS = {"INTERNAL": 0, "BTXRD": 1, "MURA": 0, "LERA": 1}
+
+
+class ArrayBundle:
+    """Columnar host arrays for a split — built once from sample dicts."""
+
+    def __init__(self, samples: Sequence[dict], cache: ImageCache,
+                 cache_indices: Optional[Sequence[int]] = None,
+                 token_ids: Optional[np.ndarray] = None,
+                 token_mask: Optional[np.ndarray] = None) -> None:
+        self.samples = list(samples)
+        self.cache = cache
+        n = len(self.samples)
+        self.cache_indices = np.asarray(
+            cache_indices if cache_indices is not None else np.arange(n),
+            dtype=np.int64)
+        assert len(self.cache_indices) == n
+        first = self.samples[0] if n else {}
+        self.is_pretrain = "caption_id" in first
+        if self.is_pretrain:
+            self.labels = np.array([s["label"] for s in self.samples], np.int32)
+            self.caption_ids = np.array(
+                [s["caption_id"] for s in self.samples], np.int32)
+            assert token_ids is not None and token_mask is not None
+            self.token_ids = token_ids
+            self.token_mask = token_mask
+        else:
+            self.labels = np.array([s["tumor"] for s in self.samples], np.int32)
+            self.clinical = np.stack(
+                [np.asarray(s["clinical"], np.float32) for s in self.samples])
+        self.dataset_ids = np.array(
+            [DATASET_IDS.get(str(s["dataset"]), 0) for s in self.samples],
+            np.int32)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def assemble(self, indices: List[int], batch_size: int) -> Dict[str, np.ndarray]:
+        idx, mask = pad_batch_indices(list(indices), batch_size)
+        idx = np.asarray(idx, np.int64)
+        batch = {
+            "image_u8": self.cache.gather(self.cache_indices[idx]),
+            "label": self.labels[idx],
+            "dataset_id": self.dataset_ids[idx],
+            "mask": mask,
+        }
+        if self.is_pretrain:
+            batch["input_ids"] = self.token_ids[idx]
+            batch["attention_mask"] = self.token_mask[idx]
+            batch["caption_id"] = self.caption_ids[idx]
+        else:
+            batch["clinical"] = self.clinical[idx]
+        return batch
+
+
+class DeviceLoader:
+    """Iterates device-resident batches with background prefetch."""
+
+    def __init__(self, bundle: ArrayBundle, sampler, batch_size: int,
+                 mesh=None, axis_name: str = "data",
+                 prefetch_depth: int = 2) -> None:
+        self.bundle = bundle
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.prefetch_depth = max(1, prefetch_depth)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sharding = NamedSharding(mesh, P(axis_name))
+        else:
+            self._sharding = None
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def _put(self, host_batch: Dict[str, np.ndarray]):
+        if self._sharding is not None:
+            return {k: jax.device_put(v, self._sharding)
+                    for k, v in host_batch.items()}
+        return {k: jax.device_put(v) for k, v in host_batch.items()}
+
+    def __iter__(self) -> Iterator[Dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                for indices in self.sampler:
+                    q.put(self._put(
+                        self.bundle.assemble(indices, self.batch_size)))
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

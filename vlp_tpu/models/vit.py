@@ -1,0 +1,114 @@
+"""Vision Transformer (ViT-B/16, ViT-L/16) in Flax Linen.
+
+Covers the reference's vit_base_patch16_224 / vit_large_patch16_224 backbone
+options (reference OnlyImagingModule.py:25-32 allowlist). Pre-LN ViT with a
+class token; ``num_classes=0`` returns the CLS embedding (timm convention).
+
+TPU notes: attention and MLP matmuls run in bf16 with fp32 accumulation
+(``preferred_element_type`` via dot_general defaults when dtype=bf16 +
+fp32 params); sequence length 197 pads fine onto MXU tiles.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="fc2")(x)
+
+
+class EncoderBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x.astype(jnp.float32))
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            param_dtype=jnp.float32, name="attn")(y.astype(self.dtype))
+        x = x + y
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x.astype(jnp.float32))
+        y = MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp")(y.astype(self.dtype))
+        return x + y
+
+
+class ViT(nn.Module):
+    patch_size: int = 16
+    hidden_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_classes: int = 0
+    dtype: jnp.dtype = jnp.bfloat16
+    axis_name: Optional[str] = None  # unused (no BN); kept for API parity
+
+    def setup(self):
+        self.patch_embed = nn.Conv(
+            self.hidden_dim, (self.patch_size, self.patch_size),
+            (self.patch_size, self.patch_size), padding="VALID",
+            dtype=self.dtype, param_dtype=jnp.float32, name="patch_embed")
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.hidden_dim),
+            jnp.float32)
+        # 224/16 = 14 -> 196 patches + CLS
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, (224 // self.patch_size) ** 2 + 1, self.hidden_dim),
+            jnp.float32)
+        self.encoder_blocks = [
+            EncoderBlock(self.num_heads, self.mlp_ratio, self.dtype,
+                         name=f"block{i}") for i in range(self.depth)]
+        self.final_ln = nn.LayerNorm(dtype=jnp.float32, name="final_ln")
+        if self.num_classes > 0:
+            self.head = nn.Dense(self.num_classes, dtype=jnp.float32,
+                                 param_dtype=jnp.float32, name="head")
+
+    def __call__(self, x, train: bool = False):
+        feats = self.forward_features(x, train)
+        return self.forward_head(feats, train)
+
+    def forward_features(self, x, train: bool = False):
+        b = x.shape[0]
+        x = self.patch_embed(x.astype(self.dtype))  # [B, H/p, W/p, D]
+        x = x.reshape(b, -1, self.hidden_dim)
+        cls = jnp.broadcast_to(self.cls_token.astype(self.dtype),
+                               (b, 1, self.hidden_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embed.astype(self.dtype)
+        for block in self.encoder_blocks:
+            x = block(x)
+        x = self.final_ln(x.astype(jnp.float32))
+        return x[:, 0]  # CLS token
+
+    def forward_head(self, feats, train: bool = False):
+        if self.num_classes > 0:
+            return self.head(feats)
+        return feats
+
+
+def vit_base_patch16_224(**kw) -> ViT:
+    return ViT(patch_size=16, hidden_dim=768, depth=12, num_heads=12, **kw)
+
+
+def vit_large_patch16_224(**kw) -> ViT:
+    return ViT(patch_size=16, hidden_dim=1024, depth=24, num_heads=16, **kw)
+
+
+FEATURE_DIMS = {"vit_base_patch16_224": 768, "vit_large_patch16_224": 1024}

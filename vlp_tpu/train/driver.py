@@ -1,0 +1,223 @@
+"""K-fold cross-validation driver + CLI entry point.
+
+Mirrors the reference's train() flow (src/train.py:56-257): seed, build
+datamodule, per-fold instantiate task/trainer (label weights injected into
+the task), fit, harvest metrics-at-best-epoch from the summary snapshot,
+aggregate mean/std across folds, and — for VLP runs — wire the downstream
+linear-probe callback (src/train.py:126-135) and the post-fit downstream
+precision@k evaluation from the best checkpoint (src/train.py:187-211).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from vlp_tpu.config import Config, apply_overrides
+from vlp_tpu.data.datamodule import DownstreamData, build_datamodule
+from vlp_tpu.models.tasks import TaskStatics, build_task
+from vlp_tpu.parallel.mesh import create_mesh
+from vlp_tpu.train.callbacks import LinearProbeCallback
+from vlp_tpu.train.loop import Trainer
+from vlp_tpu.utils import checkpoint as ckpt
+from vlp_tpu.utils.logging import JsonlSink, MemorySink, MultiSink, get_logger
+
+logger = get_logger(__name__)
+
+
+def _maybe_warm_start(cfg: Config, trainer: Trainer) -> None:
+    """VLP-checkpoint warm start: graft the image-encoder subtree into the
+    classifier backbone (reference OnlyImagingModule.py:75-98)."""
+    path = cfg.model.pretrained_ckpt
+    if not path:
+        return
+    if path.startswith("REQUIRED:"):
+        raise ValueError(
+            f"experiment {cfg.experiment!r} needs model.pretrained_ckpt "
+            "pointing at a VLP checkpoint (override it on the CLI)")
+    tree = ckpt.restore(path, {"params": trainer.params_example,
+                               "extra_vars": trainer.state.extra_vars}
+                        ) if os.path.isdir(path) else None
+    if tree is None:
+        raise FileNotFoundError(path)
+    vlp_params = tree["params"]
+    encoder = (ckpt.extract_image_encoder(vlp_params)
+               if "image_encoder" in vlp_params else vlp_params.get("backbone"))
+    new_params = ckpt.graft_backbone(trainer.state.params, encoder)
+    trainer.state = trainer.state.replace(params=new_params)
+    logger.info("Warm-started backbone from %s", path)
+
+
+def _linear_probe_callback(cfg: Config, mesh, downstream: DownstreamData,
+                           every_n: int):
+    """Build the probe over the FIRST downstream CV split's loaders
+    (reference src/train.py:126-135)."""
+    fold = next(downstream.folds())
+
+    def extract(variables):
+        # trainer-independent feature extraction: the probe owns a task view
+        # with downstream statics but shares VLP variables.
+        from vlp_tpu.train.step import make_apply_fn
+
+        probe_task = _PROBE_TASK[0]
+        fn = make_apply_fn(probe_task.features_fn, mesh, cfg.mesh.axis_name)
+        feats_tr, y_tr = _collect(fn, variables, fold.train_loader)
+        xs, ys = [], []
+        for loader in fold.val_loaders.values():
+            f, y = _collect(fn, variables, loader)
+            xs.append(f)
+            ys.append(y)
+        return feats_tr, y_tr, np.concatenate(xs), np.concatenate(ys)
+
+    return LinearProbeCallback(extract, every_n_epochs=every_n), fold
+
+
+_PROBE_TASK = [None]  # set by train() once the VLP task exists
+
+
+def _collect(fn, variables, loader):
+    feats, labels = [], []
+    for batch in loader:
+        f = np.asarray(jax.device_get(fn(variables, batch)))
+        m = np.asarray(jax.device_get(batch["mask"])) > 0
+        feats.append(f[m])
+        labels.append(np.asarray(jax.device_get(batch["label"]))[m])
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def train(cfg: Config) -> Dict[str, float]:
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name)
+    logger.info("Mesh: %s over %d devices", mesh.axis_names, mesh.size)
+    dm = build_datamodule(cfg, mesh)
+    is_vlp = cfg.model.task == "vision_language"
+
+    downstream = None
+    if is_vlp:
+        ds_cfg = Config(**{})
+        ds_cfg.data = cfg.downstream_data
+        ds_cfg.mesh = cfg.mesh
+        ds_cfg.output_dir = cfg.output_dir
+        if cfg.data.name.startswith("synthetic"):
+            ds_cfg.data.name = "synthetic_downstream"
+        downstream = DownstreamData(ds_cfg, mesh)
+
+    fold_summaries: List[Dict[str, float]] = []
+    n_folds = None if cfg.k_fold_cross_validation else 1
+    for fold in dm.folds():
+        if n_folds is not None and fold.index >= n_folds:
+            break
+        sink = MultiSink([
+            MemorySink(),
+            JsonlSink(os.path.join(cfg.output_dir,
+                                   f"metrics_fold{fold.index}.jsonl")),
+        ])
+        statics = fold.statics
+        task = build_task(cfg, statics)
+        probe = None
+        if is_vlp and downstream is not None:
+            probe_cfg_task = build_task(_downstream_probe_cfg(cfg),
+                                        downstream.fold_statics(0))
+            _PROBE_TASK[0] = task  # features come from the VLP image tower
+            probe, _ = _linear_probe_callback(
+                cfg, mesh, downstream, cfg.trainer.linear_probe_every_n_epochs)
+        trainer = Trainer(
+            cfg, task, fold.train_loader, fold.val_loaders, sink=sink,
+            mesh=mesh,
+            checkpoint_dir=os.path.join(cfg.output_dir, "checkpoints",
+                                        f"fold{fold.index}"),
+            linear_probe=probe,
+            retrieval_ks=cfg.model.retrieval_ks)
+        _maybe_warm_start(cfg, trainer)
+        trainer.fit()
+        summary = dict(sink.sinks[0].summary)
+        if is_vlp and downstream is not None and trainer.checkpointer and \
+                trainer.checkpointer.best_path:
+            summary.update(_downstream_precision_at_k(
+                cfg, trainer, downstream, mesh))
+        sink.log_summary(summary)
+        sink.finish()
+        fold_summaries.append(summary)
+        logger.info("Fold %d summary: %s", fold.index,
+                    {k: round(v, 4) for k, v in summary.items()
+                     if isinstance(v, float)})
+
+    agg = aggregate_folds(fold_summaries)
+    with open(os.path.join(cfg.output_dir, "cv_summary.json"), "w") as fh:
+        json.dump(agg, fh, indent=2)
+    logger.info("CV aggregate: %s", {k: round(v, 4) for k, v in agg.items()})
+    return agg
+
+
+def _downstream_probe_cfg(cfg: Config) -> Config:
+    import copy
+
+    out = copy.deepcopy(cfg)
+    out.model.task = "only_imaging"
+    out.data = cfg.downstream_data
+    return out
+
+
+def _downstream_precision_at_k(cfg: Config, trainer: Trainer,
+                               downstream: DownstreamData, mesh
+                               ) -> Dict[str, float]:
+    """Zero-shot-style label precision@k of the best VLP image tower over
+    the entire downstream train+val data (reference src/train.py:187-211,
+    VisionLanguageModule.py:299-361)."""
+    from vlp_tpu.ops.retrieval import label_precision_at_k
+    from vlp_tpu.train.step import make_apply_fn
+
+    best = trainer.checkpointer.restore_best(
+        {"params": trainer.state.params,
+         "extra_vars": trainer.state.extra_vars})
+    variables = {"params": best["params"], **best["extra_vars"]}
+    fn = make_apply_fn(trainer.task.embed_images_fn, mesh, cfg.mesh.axis_name)
+    fold = next(downstream.folds())
+    embs, labels = [], []
+    loaders = [fold.train_loader] + list(fold.val_loaders.values())
+    for loader in loaders:
+        e, y = _collect(fn, variables, loader)
+        embs.append(e)
+        labels.append(y)
+    import jax.numpy as jnp
+
+    emb = jnp.asarray(np.concatenate(embs))
+    y = jnp.asarray(np.concatenate(labels))
+    ks = tuple(k for k in cfg.model.retrieval_ks if k + 1 <= emb.shape[0])
+    p = label_precision_at_k(emb, y, ks=ks)
+    return {f"downstream_entire/label_precision_at_{k}": float(p[k])
+            for k in ks}
+
+
+def aggregate_folds(summaries: List[Dict[str, float]]) -> Dict[str, float]:
+    """mean/std across folds (reference src/train.py:229-240)."""
+    if not summaries:
+        return {}
+    keys = set.intersection(*(set(s) for s in summaries))
+    out = {}
+    for k in sorted(keys):
+        vals = [float(s[k]) for s in summaries
+                if isinstance(s[k], (int, float))]
+        if not vals:
+            continue
+        out[f"{k}_mean"] = float(np.mean(vals))
+        out[f"{k}_std"] = float(np.std(vals))
+    out["num_folds"] = len(summaries)
+    return out
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import sys
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    cfg = apply_overrides(Config(), argv)
+    np.random.seed(cfg.seed)
+    train(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

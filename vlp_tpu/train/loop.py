@@ -1,0 +1,207 @@
+"""The Trainer: epoch loop, validation, callbacks, checkpointing.
+
+Functional replacement for Lightning's Trainer.fit over one CV fold
+(reference src/train.py:171 + the LightningModule hook flow). Differences by
+design: the training step is ONE jitted function with donated state; metrics
+are streaming counter pytrees merged across validation loaders (the
+reference caches raw predictions per dataloader and recomputes combined
+metrics at epoch end — merged counters give the same numbers without
+keeping per-sample caches); augmentation happens inside the step on device.
+
+Metric naming mirrors the reference so monitors carry over:
+  train/loss, val/internal/accuracy, val/btxrd/auroc,
+  val/combined/accuracy, val/combined/loss, ...
+Pretrain adds val/{lera,mura}/label_precision_at_k, .../recall_at_k, and
+downstream_validation/linear_probe_* from the probe callback.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlp_tpu.config import Config
+from vlp_tpu.data.pipeline import DeviceLoader
+from vlp_tpu.models.tasks import BaseTask, VisionLanguageTask
+from vlp_tpu.ops import metrics as M
+from vlp_tpu.ops.retrieval import image_text_recall_at_k, label_precision_at_k
+from vlp_tpu.train.callbacks import EarlyStopping, LinearProbeCallback, MetricSnapshot
+from vlp_tpu.train.optim import make_optimizer
+from vlp_tpu.train.state import TrainState
+from vlp_tpu.train.step import make_apply_fn, make_eval_step, make_train_step
+from vlp_tpu.utils.checkpoint import Checkpointer
+from vlp_tpu.utils.logging import MemorySink, MetricSink, get_logger
+
+logger = get_logger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        task: BaseTask,
+        train_loader: DeviceLoader,
+        val_loaders: Dict[str, DeviceLoader],
+        sink: Optional[MetricSink] = None,
+        mesh=None,
+        checkpoint_dir: Optional[str] = None,
+        linear_probe: Optional[LinearProbeCallback] = None,
+        retrieval_ks: Sequence[int] = (3, 5, 10, 15),
+    ) -> None:
+        self.cfg = cfg
+        self.task = task
+        self.train_loader = train_loader
+        self.val_loaders = val_loaders
+        self.sink = sink or MemorySink()
+        self.mesh = mesh
+        self.retrieval_ks = tuple(retrieval_ks)
+        self.linear_probe = linear_probe
+
+        steps_per_epoch = max(len(train_loader), 1)
+        # init
+        init_batch = next(iter(train_loader))
+        variables = task.init_variables(jax.random.key(cfg.seed), init_batch)
+        self.params_example = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        self.tx = make_optimizer(cfg, variables["params"], steps_per_epoch)
+        self.state = TrainState.create(variables["params"], extra, self.tx,
+                                       jax.random.key(cfg.seed + 1))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            self.state = jax.device_put(self.state, repl)
+        self.train_step = make_train_step(task, self.tx, mesh,
+                                          cfg.mesh.axis_name)
+        self.eval_step = make_eval_step(task, mesh, cfg.mesh.axis_name)
+        self.checkpointer = (
+            Checkpointer(checkpoint_dir, cfg.trainer.checkpoint_monitor,
+                         cfg.trainer.checkpoint_mode)
+            if checkpoint_dir else None)
+        self.early_stopping = (
+            EarlyStopping(cfg.trainer.early_stopping_monitor,
+                          cfg.trainer.early_stopping_mode,
+                          cfg.trainer.early_stopping_patience,
+                          cfg.trainer.min_epochs)
+            if cfg.trainer.early_stopping_monitor else None)
+        self.snapshot = MetricSnapshot(self.sink,
+                                       cfg.trainer.checkpoint_monitor,
+                                       cfg.trainer.checkpoint_mode)
+        self.is_vlp = isinstance(task, VisionLanguageTask)
+        self._step_times: List[float] = []
+
+    # ------------------------------------------------------------------
+    @property
+    def variables(self) -> Dict:
+        return {"params": self.state.params, **self.state.extra_vars}
+
+    def fit(self) -> Dict[str, float]:
+        cfg = self.cfg
+        last_metrics: Dict[str, float] = {}
+        for epoch in range(cfg.trainer.max_epochs):
+            t0 = time.perf_counter()
+            train_loss, images_seen = self._train_epoch(epoch)
+            dt = time.perf_counter() - t0
+            metrics = {"train/loss": train_loss, "epoch": epoch,
+                       "train/images_per_sec": images_seen / max(dt, 1e-9)}
+            metrics.update(self._validate(epoch))
+            self.sink.log(metrics, step=int(jax.device_get(self.state.step)))
+            self.snapshot.on_validation_end(epoch, metrics)
+            if self.checkpointer:
+                self.checkpointer.maybe_save(
+                    metrics, {"params": self.state.params,
+                              "extra_vars": self.state.extra_vars}, epoch)
+            if self.early_stopping:
+                self.early_stopping.on_validation_end(epoch, metrics)
+                if self.early_stopping.should_stop:
+                    break
+            last_metrics = metrics
+        return last_metrics
+
+    # ------------------------------------------------------------------
+    def _train_epoch(self, epoch: int) -> Tuple[float, int]:
+        losses = []
+        images = 0
+        for batch in self.train_loader:
+            self.state, aux = self.train_step(self.state, batch)
+            losses.append(aux["loss"])
+            images += int(batch["mask"].shape[0])
+        mean_loss = float(np.mean(jax.device_get(
+            jnp.stack(losses)))) if losses else float("nan")
+        return mean_loss, images
+
+    # ------------------------------------------------------------------
+    def _validate(self, epoch: int) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        if self.linear_probe is not None:
+            out.update(self.linear_probe.on_validation_start(
+                epoch, self.variables))
+        if self.is_vlp:
+            out.update(self._validate_vlp())
+        else:
+            out.update(self._validate_classifier())
+        return out
+
+    def _validate_classifier(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        combined = M.init_state()
+        for name, loader in self.val_loaders.items():
+            st = M.init_state()
+            for batch in loader:
+                o = self.eval_step(self.variables, batch)
+                st = M.update_state(st, o["logits"], o["labels"], o["mask"],
+                                    o["loss"])
+            combined = M.merge_states(combined, st)
+            for k, v in M.compute_metrics(st, prefix=f"val/{name}/").items():
+                out[k] = float(jax.device_get(v))
+        for k, v in M.compute_metrics(combined, prefix="val/combined/").items():
+            out[k] = float(jax.device_get(v))
+        return out
+
+    def _validate_vlp(self) -> Dict[str, float]:
+        """Per-loader InfoNCE loss + epoch-level retrieval metrics over the
+        cached full-epoch embeddings (reference
+        VisionLanguageModule.py:556-636, :664-706)."""
+        out: Dict[str, float] = {}
+        for name, loader in self.val_loaders.items():
+            img_chunks, txt_chunks, label_chunks, losses = [], [], [], []
+            for batch in loader:
+                o = self.eval_step(self.variables, batch)
+                mask = np.asarray(jax.device_get(o["mask"])) > 0
+                img_chunks.append(np.asarray(jax.device_get(o["img_emb"]))[mask])
+                txt_chunks.append(np.asarray(jax.device_get(o["txt_emb"]))[mask])
+                label_chunks.append(
+                    np.asarray(jax.device_get(batch["label"]))[mask])
+                losses.append(float(jax.device_get(o["loss"])))
+            img = jnp.asarray(np.concatenate(img_chunks))
+            txt = jnp.asarray(np.concatenate(txt_chunks))
+            labels = jnp.asarray(np.concatenate(label_chunks))
+            out[f"val/{name}/loss"] = float(np.mean(losses))
+            ks = tuple(k for k in self.retrieval_ks if k + 1 <= img.shape[0])
+            if ks:
+                p = label_precision_at_k(img, labels, ks=ks)
+                r = image_text_recall_at_k(img, txt, ks=ks)
+                for k in ks:
+                    out[f"val/{name}/label_precision_at_{k}"] = float(p[k])
+                    out[f"val/{name}/recall_at_{k}"] = float(r[k])
+        if all(f"val/{n}/loss" in out for n in self.val_loaders):
+            out["val/combined/loss"] = float(np.mean(
+                [out[f"val/{n}/loss"] for n in self.val_loaders]))
+        return out
+
+    # ------------------------------------------------------------------
+    def extract_features(self, loader: DeviceLoader) -> Tuple[np.ndarray, np.ndarray]:
+        """Frozen-model pooled features + labels over a loader (linear probe
+        / t-SNE / transfer eval)."""
+        fn = make_apply_fn(self.task.features_fn, self.mesh,
+                           self.cfg.mesh.axis_name)
+        feats, labels = [], []
+        for batch in loader:
+            f = np.asarray(jax.device_get(fn(self.variables, batch)))
+            mask = np.asarray(jax.device_get(batch["mask"])) > 0
+            feats.append(f[mask])
+            labels.append(np.asarray(jax.device_get(batch["label"]))[mask])
+        return np.concatenate(feats), np.concatenate(labels)

@@ -1,0 +1,68 @@
+"""jit/pjit step factories: train step (donated state), eval step, feature
+extraction. Shardings: state replicated, batches sharded on the 'data' mesh
+axis; GSPMD inserts the gradient psum / embedding all-gathers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vlp_tpu.models.tasks import BaseTask
+from vlp_tpu.train.state import TrainState
+
+
+def make_train_step(task: BaseTask, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None, axis_name: str = "data"
+                    ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
+    def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(task.loss_fn, has_aux=True)
+        (loss, (mutated, aux)), grads = grad_fn(
+            state.params, state.extra_vars, batch, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        extra = dict(state.extra_vars)
+        extra.update(mutated)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  extra_vars=extra, opt_state=opt_state,
+                                  rng=rng)
+        return new_state, aux
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, None),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(task: BaseTask, mesh: Optional[Mesh] = None,
+                   axis_name: str = "data") -> Callable:
+    def eval_step(variables: Dict, batch: Dict) -> Dict:
+        return task.eval_fn(variables, batch)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=None)
+
+
+def make_apply_fn(fn: Callable, mesh: Optional[Mesh] = None,
+                  axis_name: str = "data") -> Callable:
+    """Generic jitted (variables, batch) -> output with batch sharding
+    (feature extraction, embedding passes)."""
+    if mesh is None:
+        return jax.jit(fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(fn, in_shardings=(repl, data), out_shardings=None)

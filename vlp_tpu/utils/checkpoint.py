@@ -1,0 +1,119 @@
+"""Orbax checkpointing + encoder-subtree transfer surgery.
+
+Reference equivalents: Lightning ModelCheckpoint with save_top_k=1 and
+metric-monitored best selection (configs/callbacks/model_checkpoint_*.yaml);
+``load_from_checkpoint``; and the VLP->downstream transfer that strips the
+``image_encoder.model.`` prefix from a VLP state_dict and loads it into a
+fresh classifier backbone with strict=False (OnlyImagingModule.py:75-98,
+FusionModule.py:92-96). Here: Orbax StandardCheckpointer over the raw param
+pytree; transfer = extracting the ``image_encoder`` subtree of a VLP
+checkpoint and grafting it under the classifier's ``backbone`` key.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from vlp_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class Checkpointer:
+    """save_top_k=1 best-metric checkpointing."""
+
+    def __init__(self, directory: str, monitor: str, mode: str = "max") -> None:
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.best_path: Optional[str] = None
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def improved(self, value: float) -> bool:
+        if self.best is None:
+            return True
+        return value > self.best if self.mode == "max" else value < self.best
+
+    def maybe_save(self, metrics: Dict[str, float], state_tree: Any,
+                   epoch: int) -> bool:
+        """Save when the monitored metric improved; keeps only the best
+        (save_top_k=1)."""
+        if self.monitor not in metrics:
+            return False
+        value = float(metrics[self.monitor])
+        if not self.improved(value):
+            return False
+        old = self.best_path
+        self.best = value
+        safe = self.monitor.replace("/", "_")
+        self.best_path = os.path.join(
+            self.directory, f"epoch{epoch:03d}_{safe}{value:.4f}")
+        self._ckptr.save(self.best_path, state_tree, force=True)
+        self._ckptr.wait_until_finished()
+        if old and os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        logger.info("Checkpoint: new best %s=%.4f -> %s", self.monitor,
+                    value, self.best_path)
+        return True
+
+    def restore_best(self, example_tree: Any) -> Any:
+        if self.best_path is None:
+            raise RuntimeError("no checkpoint saved yet")
+        return restore(self.best_path, example_tree)
+
+
+def save(path: str, tree: Any) -> str:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore(path: str, example_tree: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()),
+                                       getattr(x, "dtype", None)), example_tree)
+    return ckptr.restore(os.path.abspath(path), abstract)
+
+
+def extract_image_encoder(vlp_params: Dict) -> Dict:
+    """VLP param tree -> image-tower backbone subtree (the analogue of
+    stripping the 'image_encoder.model.' state_dict prefix,
+    reference OnlyImagingModule.py:76-80)."""
+    if "image_encoder" not in vlp_params:
+        raise KeyError("checkpoint has no image_encoder subtree")
+    return vlp_params["image_encoder"]
+
+
+def graft_backbone(classifier_params: Dict, encoder_subtree: Dict) -> Dict:
+    """Replace the classifier's backbone params with a pretrained encoder
+    subtree (strict=False semantics: heads keep their fresh init)."""
+    out = dict(classifier_params)
+    if "backbone" not in out:
+        raise KeyError("classifier params have no 'backbone' subtree")
+    _assert_compatible(out["backbone"], encoder_subtree, path="backbone")
+    out["backbone"] = encoder_subtree
+    return out
+
+
+def _assert_compatible(a: Any, b: Any, path: str = "") -> None:
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = {jax.tree_util.keystr(p): v for p, v in
+          jax.tree_util.tree_leaves_with_path(b)}
+    for p, va in la:
+        key = jax.tree_util.keystr(p)
+        if key not in lb:
+            raise KeyError(f"transfer mismatch: {path}{key} missing in source")
+        if getattr(va, "shape", None) != getattr(lb[key], "shape", None):
+            raise ValueError(
+                f"transfer shape mismatch at {path}{key}: "
+                f"{getattr(va, 'shape', None)} vs {getattr(lb[key], 'shape', None)}")
