@@ -134,6 +134,8 @@ def train(cfg: Config) -> Dict[str, float]:
         _maybe_warm_start(cfg, trainer)
         trainer.fit()
         summary = dict(sink.sinks[0].summary)
+        if not is_vlp:
+            summary.update(_post_fit_plots(cfg, trainer, fold))
         if is_vlp and downstream is not None and trainer.checkpointer and \
                 trainer.checkpointer.best_path:
             summary.update(_downstream_precision_at_k(
@@ -150,6 +152,44 @@ def train(cfg: Config) -> Dict[str, float]:
         json.dump(agg, fh, indent=2)
     logger.info("CV aggregate: %s", {k: round(v, 4) for k, v in agg.items()})
     return agg
+
+
+def _post_fit_plots(cfg: Config, trainer: Trainer, fold) -> Dict[str, float]:
+    """Per-fold t-SNE + silhouette + confusion matrix on the val loaders
+    (reference src/train.py:180-183, :261-325)."""
+    try:
+        from vlp_tpu.eval.plotting import plot_confusion_matrix, plot_tsne_and_silhouette
+        from vlp_tpu.train.step import make_apply_fn
+
+        out: Dict[str, float] = {}
+        plot_dir = os.path.join(cfg.output_dir, "plots", f"fold{fold.index}")
+        feat_fn = make_apply_fn(trainer.task.features_fn, trainer.mesh,
+                                cfg.mesh.axis_name)
+        feats, labels, datasets, probs = [], [], [], []
+        for name, loader in fold.val_loaders.items():
+            for batch in loader:
+                f = np.asarray(jax.device_get(
+                    feat_fn(trainer.variables, batch)))
+                o = trainer.eval_step(trainer.variables, batch)
+                m = np.asarray(jax.device_get(batch["mask"])) > 0
+                feats.append(f[m])
+                labels.append(np.asarray(jax.device_get(batch["label"]))[m])
+                datasets.extend([name] * int(m.sum()))
+                logits = np.asarray(jax.device_get(o["logits"])).ravel()[m]
+                probs.append(1 / (1 + np.exp(-logits)))
+        if not feats:
+            return {}
+        feats_np = np.concatenate(feats)
+        labels_np = np.concatenate(labels)
+        out.update(plot_tsne_and_silhouette(
+            feats_np, labels_np, datasets,
+            os.path.join(plot_dir, "tsne_val.png")))
+        plot_confusion_matrix(np.concatenate(probs), labels_np,
+                              os.path.join(plot_dir, "confusion_val.png"))
+        return out
+    except Exception as e:  # plotting must never kill a training run
+        logger.warning("post-fit plotting failed: %s", e)
+        return {}
 
 
 def _downstream_probe_cfg(cfg: Config) -> Config:
