@@ -1,0 +1,53 @@
+"""End-to-end integration: one tiny fold through the full driver (config ->
+synthetic data -> jitted train step -> validation -> checkpoint -> CV
+aggregate), and the VLP path with probe + retrieval. Uses 32px images so the
+single-core CPU compile stays small; marked slow."""
+import glob
+import json
+import os
+
+import pytest
+
+from vlp_tpu.config import apply_overrides, get_experiment
+from vlp_tpu.train.driver import train
+
+
+@pytest.mark.slow
+def test_supervised_e2e(tmp_path):
+    cfg = get_experiment("smoke_synthetic_only_imaging")
+    cfg = apply_overrides(cfg, [
+        "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
+        "data.synthetic_num_samples=24", "trainer.max_epochs=2",
+        "model.coral_lambda=1.0",
+    ])
+    cfg.output_dir = str(tmp_path)
+    agg = train(cfg)
+    assert agg["num_folds"] == 1
+    key = "val/combined/accuracy_best_val/combined/accuracy_mean"
+    assert key in agg and 0.0 <= agg[key] <= 1.0
+    # checkpoint exists
+    assert glob.glob(str(tmp_path / "checkpoints" / "fold0" / "epoch*"))
+    # metrics jsonl written
+    lines = open(glob.glob(str(tmp_path / "metrics_fold0.jsonl"))[0]).read()
+    assert "train/loss" in lines
+    # cv summary
+    cv = json.load(open(tmp_path / "cv_summary.json"))
+    assert cv == pytest.approx(agg)
+
+
+@pytest.mark.slow
+def test_vlp_e2e_with_probe_and_pak(tmp_path):
+    cfg = get_experiment("smoke_synthetic_pretrain")
+    cfg = apply_overrides(cfg, [
+        "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
+        "data.max_token_length=8", "data.synthetic_num_samples=40",
+        "downstream_data.image_size=32",
+        "downstream_data.synthetic_num_samples=24",
+        "trainer.max_epochs=1",
+    ])
+    cfg.output_dir = str(tmp_path)
+    agg = train(cfg)
+    keys = "\n".join(agg)
+    assert "linear_probe_balanced_accuracy" in keys
+    assert "downstream_entire/label_precision_at_3_mean" in agg
+    assert "val/lera/loss" in keys or "val/mura/loss" in keys

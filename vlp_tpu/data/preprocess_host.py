@@ -157,14 +157,27 @@ def preprocess_image(
     crop: bool = False,
     maximum_crop_ratio: float = 0.05,
     equalize: bool = True,
+    use_native: bool = False,
 ) -> np.ndarray:
-    """Full deterministic pipeline -> [image_size, image_size] uint8."""
+    """Full deterministic pipeline -> [image_size, image_size] uint8.
+
+    ``use_native=True`` routes through the C++ library
+    (vlp_tpu/native/preprocess.cpp; ~6x faster per core, parity within 1
+    uint8 LSB) and falls back to this NumPy reference implementation when
+    the library is unavailable."""
     if isinstance(path_or_array, str):
         img = decode_image(path_or_array)
     else:
         img = np.asarray(path_or_array)
         if img.ndim == 2:
             img = img[:, :, None]
+    if use_native:
+        from vlp_tpu.native import preprocess_image_native
+
+        out = preprocess_image_native(img, image_size, crop,
+                                      maximum_crop_ratio, equalize)
+        if out is not None:
+            return out
     gray = to_grayscale(img)
     if equalize:
         gray = equalize_hist(gray)
@@ -211,10 +224,16 @@ class ImageCache:
         maximum_crop_ratio: float = 0.05,
         equalize: bool = True,
         num_workers: int = 0,
+        use_native: bool = True,
     ) -> "ImageCache":
         os.makedirs(cache_dir, exist_ok=True)
+        if use_native:
+            from vlp_tpu.native import get_lib
+
+            use_native = get_lib() is not None
         key_parts = [f"size={image_size}", f"crop={crop}",
-                     f"ratio={maximum_crop_ratio}", f"eq={equalize}"] + list(paths)
+                     f"ratio={maximum_crop_ratio}", f"eq={equalize}",
+                     f"native={bool(use_native)}"] + list(paths)
         key = hash_list_of_strings(key_parts)
         npy = os.path.join(cache_dir, f"imgcache_{key}.npy")
         meta = os.path.join(cache_dir, f"imgcache_{key}.json")
@@ -232,7 +251,8 @@ class ImageCache:
             i, p = i_path
             return i, preprocess_image(
                 p, image_size=image_size, crop=crop,
-                maximum_crop_ratio=maximum_crop_ratio, equalize=equalize)
+                maximum_crop_ratio=maximum_crop_ratio, equalize=equalize,
+                use_native=use_native)
 
         if num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
@@ -242,9 +262,7 @@ class ImageCache:
                     arr[i] = out
         else:
             for i, p in enumerate(paths):
-                arr[i] = preprocess_image(
-                    p, image_size=image_size, crop=crop,
-                    maximum_crop_ratio=maximum_crop_ratio, equalize=equalize)
+                arr[i] = _work((i, p))[1]
         arr.flush()
         os.replace(npy + ".tmp.npy", npy)
         with open(meta, "w") as fh:

@@ -30,7 +30,29 @@ logger = get_logger(__name__)
 
 def _maybe_warm_start(cfg: Config, trainer: Trainer) -> None:
     """VLP-checkpoint warm start: graft the image-encoder subtree into the
-    classifier backbone (reference OnlyImagingModule.py:75-98)."""
+    classifier backbone (reference OnlyImagingModule.py:75-98); or, for the
+    torchxrayvision path, import the pretrained torch ResNet50 weights
+    (reference OnlyImagingModule.py:55-69)."""
+    if cfg.model.pretrained and cfg.model.model == "resnet50-res512-all":
+        from vlp_tpu.models.torch_import import load_torchxrayvision_resnet50
+
+        params = trainer.state.params
+        bs = trainer.state.extra_vars.get("batch_stats", {})
+        loaded = load_torchxrayvision_resnet50(
+            params.get("backbone", params),
+            bs.get("backbone", bs),
+            weights_path=os.environ.get("XRV_WEIGHTS_PATH"))
+        if loaded is not None:
+            new_p, new_b = loaded
+            params = dict(params)
+            params["backbone"] = new_p
+            extra = dict(trainer.state.extra_vars)
+            new_bs = dict(bs)
+            new_bs["backbone"] = new_b
+            extra["batch_stats"] = new_bs
+            trainer.state = trainer.state.replace(params=params,
+                                                  extra_vars=extra)
+            logger.info("Loaded torchxrayvision resnet50 weights")
     path = cfg.model.pretrained_ckpt
     if not path:
         return
