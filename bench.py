@@ -5,15 +5,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: VLP pretraining images/sec/chip (MURA+LERA-shaped synthetic data:
 224x224 radiographs + 40-token captions, ResNet34+TinyBERT dual tower,
-batch 128, bf16) — the reference's headline pipeline
-(BASELINE.json north_star: >=5x PyTorch images/sec/chip).
+batch 128, bf16, on-device augmentation included) — the reference's headline
+pipeline (BASELINE.json north_star: >=5x PyTorch images/sec/chip).
+
+Methodology: the K timed steps run INSIDE one jitted ``lax.scan``
+(vlp_tpu.train.step.make_scanned_train_step) and the final loss VALUE is
+fetched, so the measurement is a single dispatch with forced execution —
+immune to both per-dispatch round-trip overhead and async-ack artifacts of
+remote PJRT transports (block_until_ready proved unreliable through the
+tunnel; value fetches cannot lie).
 
 ``vs_baseline``: the reference publishes NO throughput numbers
-(BASELINE.md: '"published": {}'). We compare against a measured PyTorch-CPU
-equivalent when available (torch is cpu-only in this image, so the honest
-baseline is the recorded reference-GPU estimate if provided via
-BASELINE_IMAGES_PER_SEC env); otherwise vs_baseline reports the ratio to a
-conservative 1-GPU PyTorch estimate of 250 img/s for this model/batch.
+(BASELINE.md '"published": {}'). vs_baseline is the ratio to a conservative
+single-GPU PyTorch estimate of 250 img/s for this model/batch, overridable
+via BASELINE_IMAGES_PER_SEC.
 """
 from __future__ import annotations
 
@@ -40,50 +45,53 @@ def main() -> None:
     from vlp_tpu.models.tasks import TaskStatics, build_task
     from vlp_tpu.train.optim import make_optimizer
     from vlp_tpu.train.state import TrainState
-    from vlp_tpu.train.step import make_train_step
+    from vlp_tpu.train.step import make_scanned_train_step
 
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     cfg = Config()
     cfg.model.task = "vision_language"
-    cfg.model.model = "resnet34"
+    cfg.model.model = os.environ.get("BENCH_MODEL", "resnet34")
     cfg.model.text_model = "tinybert"
     cfg.data.batch_size = batch_size
 
-    statics = TaskStatics(mean=128.0, std=30.0)
-    task = build_task(cfg, statics)
+    task = build_task(cfg, TaskStatics(mean=128.0, std=30.0))
 
     rng = np.random.default_rng(0)
-    batch = {
+    batches = {
         "image_u8": jnp.asarray(rng.integers(
-            0, 255, (batch_size, 224, 224), dtype=np.uint8)),
+            0, 255, (steps, batch_size, 224, 224), dtype=np.uint8)),
         "input_ids": jnp.asarray(rng.integers(
-            0, 30000, (batch_size, 40), dtype=np.int32)),
-        "attention_mask": jnp.ones((batch_size, 40), jnp.int32),
-        "caption_id": jnp.arange(batch_size, dtype=jnp.int32),
-        "label": jnp.zeros((batch_size,), jnp.int32),
-        "mask": jnp.ones((batch_size,), jnp.float32),
+            0, 30000, (steps, batch_size, 40), dtype=np.int32)),
+        "attention_mask": jnp.ones((steps, batch_size, 40), jnp.int32),
+        "caption_id": jnp.tile(jnp.arange(batch_size, dtype=jnp.int32),
+                               (steps, 1)),
+        "label": jnp.zeros((steps, batch_size), jnp.int32),
+        "mask": jnp.ones((steps, batch_size), jnp.float32),
     }
-    variables = task.init_variables(jax.random.key(0), batch)
+    one = {k: v[0] for k, v in batches.items()}
+    variables = task.init_variables(jax.random.key(0), one)
     tx = make_optimizer(cfg, variables["params"], steps_per_epoch=100)
     state = TrainState.create(
         variables["params"],
         {k: v for k, v in variables.items() if k != "params"},
         tx, jax.random.key(1))
-    step = make_train_step(task, tx, mesh=None)
+    multi_step = make_scanned_train_step(task, tx, steps, mesh=None)
 
-    for _ in range(warmup):
-        state, aux = step(state, batch)
-    jax.block_until_ready(aux["loss"])
+    # warmup (compile) + correctness guard
+    state, losses = multi_step(state, batches)
+    final = float(jax.device_get(losses[-1]))
+    assert final == final, "NaN loss"
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, aux = step(state, batch)
-    jax.block_until_ready(aux["loss"])
-    dt = time.perf_counter() - t0
-
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, losses = multi_step(state, batches)
+        float(jax.device_get(losses[-1]))  # forced execution
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     images_per_sec = batch_size * steps / dt
     print(json.dumps({
         "metric": "vlp_pretrain_images_per_sec_per_chip",

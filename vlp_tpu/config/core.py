@@ -147,6 +147,8 @@ class Config:
     ckpt_path: Optional[str] = None
     k_fold_cross_validation: bool = False
     output_dir: str = "outputs"
+    logger: str = "jsonl"  # jsonl | wandb (reference configs/logger/wandb.yaml)
+    wandb_project: str = "vlp_tpu"
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)

@@ -116,6 +116,36 @@ def generate_with_llm(model_name: str = "meta-llama/Llama-3.1-8B-Instruct",
         return generate_captions(per_combination)
 
 
+def fill_missing(csv_path: str, per_combination: int = 40) -> int:
+    """Regenerate only missing (site,label) combinations in an existing
+    caption CSV (the reference's caption_regenerate_missing.py:8-41).
+    Returns the number of rows appended."""
+    df = pd.read_csv(csv_path)
+    have = {(str(r["anatomy_site"]), int(r["abnormality_label"]))
+            for _, r in df.iterrows()}
+    counts = df.groupby(["anatomy_site", "abnormality_label"]).size().to_dict()
+    added = []
+    full = generate_captions(per_combination)
+    for site in SITES:
+        for label in (0, 1):
+            n_have = counts.get((site, label), 0)
+            if (site, label) not in have or n_have < per_combination:
+                pool = full[(full["anatomy_site"] == site)
+                            & (full["abnormality_label"] == label)]
+                existing = set(df[(df["anatomy_site"] == site)
+                                  & (df["abnormality_label"] == label)]["caption"])
+                for _, row in pool.iterrows():
+                    if len(existing) >= per_combination:
+                        break
+                    if row["caption"] not in existing:
+                        added.append(row)
+                        existing.add(row["caption"])
+    if added:
+        out = pd.concat([df, pd.DataFrame(added)], ignore_index=True)
+        out.to_csv(csv_path, index=False)
+    return len(added)
+
+
 def main(out_path: str = "res/data/pretrain/captions.csv",
          per_combination: int = 40) -> str:
     df = generate_captions(per_combination)

@@ -43,6 +43,10 @@ class AugmentConfig(NamedTuple):
     noise_prob: float = 0.5
     shear_deg: float = 0.0  # pretrain uses 5 (PretrainDataModule.py:186-198)
     enabled: bool = True
+    # "shear": 3-shear + matmul-zoom warp (TPU-fast, vlp_tpu.ops.warp);
+    # "gather": per-pixel bilinear gather (reference semantics, fine on CPU,
+    # ~30x slower on TPU — kept as the numerical reference).
+    method: str = "shear"
 
 
 def _sample_params(key: jax.Array, cfg: AugmentConfig, batch: int):
@@ -135,7 +139,12 @@ def augment_and_normalize(
     if cfg.enabled:
         pkey, nkey = jax.random.split(rng)
         tx, ty, theta, zoom, shear, flip, noise_std = _sample_params(pkey, cfg, b)
-        x = jax.vmap(_warp_one)(x, tx, ty, theta, zoom, shear)
+        if cfg.method == "shear":
+            from vlp_tpu.ops.warp import affine_warp_shear
+
+            x = affine_warp_shear(x, theta, zoom, tx, ty, shear)
+        else:
+            x = jax.vmap(_warp_one)(x, tx, ty, theta, zoom, shear)
         x = jnp.where(flip[:, None, None], x[:, ::-1, :], x)
         # σ in raw intensity units, matching MONAI RandGaussianNoised which
         # adds N(0, σ≤0.01) to the unnormalized 0..255 image.

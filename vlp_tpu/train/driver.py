@@ -132,11 +132,23 @@ def train(cfg: Config) -> Dict[str, float]:
     for fold in dm.folds():
         if n_folds is not None and fold.index >= n_folds:
             break
-        sink = MultiSink([
+        sinks = [
             MemorySink(),
             JsonlSink(os.path.join(cfg.output_dir,
                                    f"metrics_fold{fold.index}.jsonl")),
-        ])
+        ]
+        if cfg.logger == "wandb":
+            try:
+                from vlp_tpu.utils.logging import WandbSink
+
+                sinks.append(WandbSink(
+                    cfg.wandb_project,
+                    name=f"{cfg.experiment or cfg.model.model}_fold{fold.index}",
+                    group=cfg.experiment, tags=list(cfg.tags),
+                    config=cfg.to_dict()))
+            except Exception as e:
+                logger.warning("wandb unavailable (%s); JSONL sink only", e)
+        sink = MultiSink(sinks)
         statics = fold.statics
         task = build_task(cfg, statics)
         probe = None

@@ -123,14 +123,31 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _train_epoch(self, epoch: int) -> Tuple[float, int]:
+        from vlp_tpu.utils.profiling import StepTimer, trace
+
+        import contextlib
+
         losses = []
         images = 0
-        for batch in self.train_loader:
-            self.state, aux = self.train_step(self.state, batch)
-            losses.append(aux["loss"])
-            images += int(batch["mask"].shape[0])
+        timer = StepTimer(warmup=1)
+        profile_ctx = None
+        if self.cfg.trainer.profile and epoch == 0:
+            profile_dir = self.cfg.trainer.profile_dir or \
+                f"{self.cfg.output_dir}/profile"
+            profile_ctx = trace(profile_dir)
+        with (profile_ctx or contextlib.nullcontext()):
+            for batch in self.train_loader:
+                timer.start()
+                self.state, aux = self.train_step(self.state, batch)
+                # async dispatch: only the epoch tail blocks; the timer's
+                # per-step stop is advisory (pipelined) — epoch wall time is
+                # the authoritative throughput number.
+                timer.stop()
+                losses.append(aux["loss"])
+                images += int(batch["mask"].shape[0])
         mean_loss = float(np.mean(jax.device_get(
             jnp.stack(losses)))) if losses else float("nan")
+        self._step_times.extend(timer._times)
         return mean_loss, images
 
     # ------------------------------------------------------------------

@@ -45,6 +45,41 @@ def make_train_step(task: BaseTask, tx: optax.GradientTransformation,
     )
 
 
+def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
+                            num_steps: int, mesh: Optional[Mesh] = None,
+                            axis_name: str = "data") -> Callable:
+    """K training steps inside ONE jitted call via ``lax.scan`` over batches
+    stacked on a leading axis (pytree of [K, ...] arrays).
+
+    Motivation: each host->device dispatch costs a round trip (severe over
+    remote PJRT tunnels, nonzero everywhere); scanning the loop on device
+    makes throughput dispatch-free. Returns (new_state, losses[K]).
+    """
+
+    def one_step(state: TrainState, batch: Dict):
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(task.loss_fn, has_aux=True)
+        (loss, (mutated, _aux)), grads = grad_fn(
+            state.params, state.extra_vars, batch, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        extra = dict(state.extra_vars)
+        extra.update(mutated)
+        return state.replace(step=state.step + 1, params=params,
+                             extra_vars=extra, opt_state=opt_state,
+                             rng=rng), loss
+
+    def multi_step(state: TrainState, batches: Dict):
+        return jax.lax.scan(one_step, state, batches, length=num_steps)
+
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, axis_name))  # [K, B, ...] shard B
+    return jax.jit(multi_step, in_shardings=(repl, data),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
+
+
 def make_eval_step(task: BaseTask, mesh: Optional[Mesh] = None,
                    axis_name: str = "data") -> Callable:
     def eval_step(variables: Dict, batch: Dict) -> Dict:
