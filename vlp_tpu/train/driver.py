@@ -73,18 +73,41 @@ def _maybe_warm_start(cfg: Config, trainer: Trainer) -> None:
     logger.info("Warm-started backbone from %s", path)
 
 
+def _maybe_load_pretrained_text_tower(cfg: Config, trainer: Trainer) -> None:
+    """Import pretrained HF DistilBERT/TinyBERT weights into the text tower
+    when locally cached (the reference's text encoders are always pretrained,
+    VisionLanguageModule.py:38-60; zero-egress environments fall back to
+    random init with a loud log)."""
+    from vlp_tpu.models.bert import load_hf_weights
+
+    params = trainer.state.params
+    if "text_encoder" not in params:
+        return
+    converted = load_hf_weights(params["text_encoder"], cfg.model.text_model)
+    if converted is None:
+        return
+    new_params = dict(params)
+    new_params["text_encoder"] = converted
+    trainer.state = trainer.state.replace(params=new_params)
+    logger.info("Loaded pretrained %s text-tower weights",
+                cfg.model.text_model)
+
+
 def _linear_probe_callback(cfg: Config, mesh, downstream: DownstreamData,
-                           every_n: int):
+                           every_n: int, vlp_task):
     """Build the probe over the FIRST downstream CV split's loaders
-    (reference src/train.py:126-135)."""
+    (reference src/train.py:126-135). Features come from the VLP image
+    tower applied with the DOWNSTREAM fold's normalization statics."""
+    import copy
+
     fold = next(downstream.folds())
+    # probe view: same VLP model/variables, downstream preprocessing statics
+    probe_task = copy.copy(vlp_task)
+    probe_task.statics = fold.statics
 
     def extract(variables):
-        # trainer-independent feature extraction: the probe owns a task view
-        # with downstream statics but shares VLP variables.
         from vlp_tpu.train.step import make_apply_fn
 
-        probe_task = _PROBE_TASK[0]
         fn = make_apply_fn(probe_task.features_fn, mesh, cfg.mesh.axis_name)
         feats_tr, y_tr = _collect(fn, variables, fold.train_loader)
         xs, ys = [], []
@@ -95,9 +118,6 @@ def _linear_probe_callback(cfg: Config, mesh, downstream: DownstreamData,
         return feats_tr, y_tr, np.concatenate(xs), np.concatenate(ys)
 
     return LinearProbeCallback(extract, every_n_epochs=every_n), fold
-
-
-_PROBE_TASK = [None]  # set by train() once the VLP task exists
 
 
 def _collect(fn, variables, loader):
@@ -153,11 +173,9 @@ def train(cfg: Config) -> Dict[str, float]:
         task = build_task(cfg, statics)
         probe = None
         if is_vlp and downstream is not None:
-            probe_cfg_task = build_task(_downstream_probe_cfg(cfg),
-                                        downstream.fold_statics(0))
-            _PROBE_TASK[0] = task  # features come from the VLP image tower
             probe, _ = _linear_probe_callback(
-                cfg, mesh, downstream, cfg.trainer.linear_probe_every_n_epochs)
+                cfg, mesh, downstream,
+                cfg.trainer.linear_probe_every_n_epochs, task)
         trainer = Trainer(
             cfg, task, fold.train_loader, fold.val_loaders, sink=sink,
             mesh=mesh,
@@ -166,6 +184,17 @@ def train(cfg: Config) -> Dict[str, float]:
             linear_probe=probe,
             retrieval_ks=cfg.model.retrieval_ks)
         _maybe_warm_start(cfg, trainer)
+        if is_vlp:
+            _maybe_load_pretrained_text_tower(cfg, trainer)
+        if cfg.ckpt_path:
+            # resume training from a saved state (reference passes ckpt_path
+            # through to trainer.fit, src/train.py:171)
+            tree = ckpt.restore(cfg.ckpt_path, {
+                "params": trainer.state.params,
+                "extra_vars": trainer.state.extra_vars})
+            trainer.state = trainer.state.replace(
+                params=tree["params"], extra_vars=tree["extra_vars"])
+            logger.info("Resumed model state from %s", cfg.ckpt_path)
         trainer.fit()
         summary = dict(sink.sinks[0].summary)
         if not is_vlp:
@@ -224,15 +253,6 @@ def _post_fit_plots(cfg: Config, trainer: Trainer, fold) -> Dict[str, float]:
     except Exception as e:  # plotting must never kill a training run
         logger.warning("post-fit plotting failed: %s", e)
         return {}
-
-
-def _downstream_probe_cfg(cfg: Config) -> Config:
-    import copy
-
-    out = copy.deepcopy(cfg)
-    out.model.task = "only_imaging"
-    out.data = cfg.downstream_data
-    return out
 
 
 def _downstream_precision_at_k(cfg: Config, trainer: Trainer,

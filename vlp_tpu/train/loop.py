@@ -105,6 +105,13 @@ class Trainer:
             t0 = time.perf_counter()
             train_loss, images_seen = self._train_epoch(epoch)
             dt = time.perf_counter() - t0
+            if train_loss != train_loss:  # NaN guard (failure detection):
+                # fail fast with a clear error instead of training on garbage;
+                # the best checkpoint (if any) remains on disk for resume.
+                raise FloatingPointError(
+                    f"training loss became NaN at epoch {epoch}; "
+                    f"best checkpoint: "
+                    f"{self.checkpointer.best_path if self.checkpointer else None}")
             metrics = {"train/loss": train_loss, "epoch": epoch,
                        "train/images_per_sec": images_seen / max(dt, 1e-9)}
             metrics.update(self._validate(epoch))
