@@ -1,0 +1,131 @@
+"""Distributed-path correctness on the 8-device CPU mesh: shard_map
+global-batch InfoNCE == single-device loss; sharded train step == unsharded;
+metric psum reduction."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlp_tpu.ops import losses
+from vlp_tpu.parallel.infonce import global_infonce_shard_map
+from vlp_tpu.parallel.mesh import batch_sharding, create_mesh, replicated, shard_batch
+
+
+class TestShardMapInfoNCE:
+    def _data(self, b=32, e=16, seed=0):
+        rng = np.random.default_rng(seed)
+        img = jnp.asarray(rng.normal(size=(b, e)).astype(np.float32))
+        txt = jnp.asarray(rng.normal(size=(b, e)).astype(np.float32))
+        return img, txt
+
+    def test_matches_single_device(self):
+        img, txt = self._data()
+        scale = jnp.float32(np.exp(2.0))
+        mask = jnp.ones(32)
+        ref = losses.symmetric_infonce(
+            losses.clip_logits(img, txt, jnp.log(scale), scale_max=1e9), mask)
+        mesh = create_mesh()
+        fn = global_infonce_shard_map(mesh)
+        sh = batch_sharding(mesh)
+        out = fn(jax.device_put(img, sh), jax.device_put(txt, sh),
+                 jax.device_put(scale, replicated(mesh)),
+                 jax.device_put(mask, sh))
+        assert abs(float(out) - float(ref)) < 1e-4
+
+    def test_masked_padding_matches(self):
+        img, txt = self._data(b=32)
+        mask = jnp.array([1.0] * 24 + [0.0] * 8)
+        scale = jnp.float32(20.0)
+        ref = losses.symmetric_infonce(
+            losses.clip_logits(img, txt, jnp.log(scale), scale_max=1e9), mask)
+        mesh = create_mesh()
+        fn = global_infonce_shard_map(mesh)
+        sh = batch_sharding(mesh)
+        out = fn(jax.device_put(img, sh), jax.device_put(txt, sh),
+                 jax.device_put(scale, replicated(mesh)),
+                 jax.device_put(mask, sh))
+        assert abs(float(out) - float(ref)) < 1e-4
+
+
+class TestShardedTrainStep:
+    def test_sharded_equals_unsharded(self):
+        """One VLP train step on the 8-device mesh produces the same loss
+        and (replicated) params as the single-device step."""
+        from vlp_tpu.config import Config
+        from vlp_tpu.models.tasks import TaskStatics, build_task
+        from vlp_tpu.train.optim import make_optimizer
+        from vlp_tpu.train.state import TrainState
+        from vlp_tpu.train.step import make_train_step
+
+        cfg = Config()
+        cfg.model.task = "vision_language"
+        cfg.model.model = "resnet18"
+        cfg.model.text_model = "tinybert"
+        cfg.trainer.precision = "fp32"
+        # SGD so the update is proportional to the gradient: adam's m/sqrt(v)
+        # normalization turns fp reduction-order noise on near-zero grads
+        # into +-lr sign flips, which is optimizer behavior, not a sharding
+        # correctness signal.
+        cfg.optimizer.name = "sgd"
+        cfg.scheduler.name = "none"
+        cfg.optimizer.lr = 0.01
+        cfg.data.disable_augmentations = True  # deterministic step
+        from vlp_tpu.ops.augment import AugmentConfig
+
+        statics = TaskStatics(mean=128.0, std=30.0,
+                              augment=AugmentConfig(enabled=False))
+        task = build_task(cfg, statics)
+        rng = np.random.default_rng(0)
+        B, S = 16, 32
+        batch = {
+            "image_u8": jnp.asarray(rng.integers(0, 255, (B, S, S),
+                                                 dtype=np.uint8)),
+            "input_ids": jnp.asarray(rng.integers(1, 100, (B, 8),
+                                                  dtype=np.int32)),
+            "attention_mask": jnp.ones((B, 8), jnp.int32),
+            "caption_id": jnp.arange(B, dtype=jnp.int32),
+            "label": jnp.zeros((B,), jnp.int32),
+            "mask": jnp.ones((B,), jnp.float32),
+        }
+        variables = task.init_variables(jax.random.key(0), batch)
+        tx = make_optimizer(cfg, variables["params"], 10)
+
+        def fresh_state():
+            # deep-copy: the train step donates its input state buffers
+            v = jax.tree.map(jnp.array, variables)
+            return TrainState.create(
+                v["params"],
+                {k: x for k, x in v.items() if k != "params"},
+                tx, jax.random.key(1))
+
+        # single device
+        step1 = make_train_step(task, tx, mesh=None)
+        s1, aux1 = step1(fresh_state(), batch)
+        # 8-device mesh
+        mesh = create_mesh()
+        step8 = make_train_step(task, tx, mesh=mesh)
+        state8 = jax.device_put(fresh_state(), replicated(mesh))
+        s8, aux8 = step8(state8, shard_batch(batch, mesh))
+        assert abs(float(aux1["loss"]) - float(aux8["loss"])) < 1e-4
+        # updated params agree
+        p1 = jax.tree.leaves(s1.params)
+        p8 = jax.tree.leaves(s8.params)
+        worst = max(float(jnp.abs(a - b).max()) for a, b in zip(p1, p8))
+        assert worst < 1e-4, f"param divergence {worst}"
+
+
+class TestMetricPsum:
+    def test_metric_states_add(self):
+        from vlp_tpu.ops import metrics as M
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=64).astype(np.float32))
+        labels = jnp.asarray((rng.random(64) < 0.5).astype(np.float32))
+        full = M.update_state(M.init_state(), logits, labels)
+        parts = [M.update_state(M.init_state(), logits[i::8], labels[i::8])
+                 for i in range(8)]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = M.merge_states(merged, p)
+        for k, v in M.compute_metrics(full).items():
+            assert abs(float(v) - float(M.compute_metrics(merged)[k])) < 1e-6
