@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark suite: records throughput for the main workloads on the current
+device into benchmarks/results.json. The reference has no benchmarks at all
+(SURVEY.md §6) — these numbers define the baseline.
+
+Workloads (all 224x224, bf16 compute, on-device augmentation where noted):
+- vlp_train:        VLP dual-tower (ResNet34+TinyBERT) train step, batch 128
+- classifier_train: OnlyImaging ResNet34 train step (weighted BCE+CORAL)
+- fusion_train:     Fusion ResNet34 train step
+- classifier_infer: OnlyImaging ResNet34 inference (eval_fn)
+- augmentation:     fused augment+normalize alone
+
+Methodology: K steps inside one jitted lax.scan; final VALUE fetched (forced
+execution, single dispatch). See bench.py docstring for why.
+"""
+from __future__ import annotations
+
+import json
+import os
+import platform
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache", "tpu"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlp_tpu.config import Config
+    from vlp_tpu.models.tasks import TaskStatics, build_task
+    from vlp_tpu.ops.augment import AugmentConfig, augment_and_normalize
+    from vlp_tpu.train.optim import make_optimizer
+    from vlp_tpu.train.state import TrainState
+    from vlp_tpu.train.step import make_scanned_train_step
+
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    K = int(os.environ.get("BENCH_STEPS", "10"))
+    rng = np.random.default_rng(0)
+    results = {"device": str(jax.devices()[0]),
+               "platform": platform.platform(),
+               "batch_size": B, "steps_per_measurement": K}
+
+    def batches(task_kind):
+        base = {
+            "image_u8": jnp.asarray(rng.integers(
+                0, 255, (K, B, 224, 224), dtype=np.uint8)),
+            "label": jnp.zeros((K, B), jnp.int32),
+            "mask": jnp.ones((K, B), jnp.float32),
+        }
+        if task_kind == "vision_language":
+            base.update({
+                "input_ids": jnp.asarray(rng.integers(
+                    0, 30000, (K, B, 40), dtype=np.int32)),
+                "attention_mask": jnp.ones((K, B, 40), jnp.int32),
+                "caption_id": jnp.tile(jnp.arange(B, dtype=jnp.int32), (K, 1)),
+            })
+        else:
+            base.update({
+                "dataset_id": jnp.tile(
+                    jnp.asarray(rng.integers(0, 2, B, dtype=np.int32)), (K, 1)),
+                "clinical": jnp.zeros((K, B, 15), jnp.float32),
+            })
+        return base
+
+    def measure_train(name, task_cfg):
+        cfg = Config()
+        for k, v in task_cfg.items():
+            setattr(cfg.model, k, v)
+        task = build_task(cfg, TaskStatics(mean=128.0, std=30.0))
+        bb = batches(cfg.model.task)
+        one = {k: v[0] for k, v in bb.items()}
+        variables = task.init_variables(jax.random.key(0), one)
+        tx = make_optimizer(cfg, variables["params"], 100)
+        state = TrainState.create(
+            variables["params"],
+            {k: v for k, v in variables.items() if k != "params"},
+            tx, jax.random.key(1))
+        step = make_scanned_train_step(task, tx, K, mesh=None)
+        state, losses = step(state, bb)
+        float(jax.device_get(losses[-1]))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, losses = step(state, bb)
+            float(jax.device_get(losses[-1]))
+            ts.append(time.perf_counter() - t0)
+        ips = B * K / min(ts)
+        results[name] = {"images_per_sec": round(ips, 1),
+                         "step_ms": round(min(ts) / K * 1e3, 2)}
+        print(f"{name}: {ips:.0f} img/s ({min(ts)/K*1e3:.1f} ms/step)",
+              flush=True)
+
+    measure_train("vlp_train", {"task": "vision_language", "model": "resnet34",
+                                "text_model": "tinybert"})
+    measure_train("classifier_train", {"task": "only_imaging",
+                                       "model": "resnet34",
+                                       "coral_lambda": 1000.0})
+    measure_train("fusion_train", {"task": "fusion", "model": "resnet34"})
+
+    # inference
+    cfg = Config()
+    cfg.model.task = "only_imaging"
+    task = build_task(cfg, TaskStatics(mean=128.0, std=30.0))
+    bb = batches("only_imaging")
+    one = {k: v[0] for k, v in bb.items()}
+    variables = task.init_variables(jax.random.key(0), one)
+
+    @jax.jit
+    def infer_scan(v, bb):
+        def body(c, b):
+            return c + task.eval_fn(v, b)["loss"], ()
+        out, _ = jax.lax.scan(body, jnp.float32(0), bb)
+        return out
+
+    out = infer_scan(variables, bb)
+    float(jax.device_get(out))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jax.device_get(infer_scan(variables, bb)))
+        ts.append(time.perf_counter() - t0)
+    results["classifier_infer"] = {
+        "images_per_sec": round(B * K / min(ts), 1),
+        "step_ms": round(min(ts) / K * 1e3, 2)}
+    print(f"classifier_infer: {B*K/min(ts):.0f} img/s", flush=True)
+
+    # augmentation alone
+    key = jax.random.key(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (B, 224, 224), dtype=np.uint8))
+
+    @jax.jit
+    def aug_scan(c):
+        def body(c, _):
+            y = augment_and_normalize(c, key, jnp.float32(128.),
+                                      jnp.float32(30.), AugmentConfig())
+            return (y[..., 0] * 0).astype(jnp.uint8) + c, ()
+        c, _ = jax.lax.scan(body, c, None, length=K)
+        return c
+
+    out = aug_scan(imgs)
+    float(jax.device_get(out.reshape(-1)[0]))
+    t0 = time.perf_counter()
+    out = aug_scan(imgs)
+    float(jax.device_get(out.reshape(-1)[0]))
+    dt = (time.perf_counter() - t0) / K
+    results["augmentation"] = {"images_per_sec": round(B / dt, 1),
+                               "step_ms": round(dt * 1e3, 2)}
+    print(f"augmentation: {B/dt:.0f} img/s", flush=True)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.json")
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
