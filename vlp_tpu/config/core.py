@@ -112,6 +112,7 @@ class TrainerConfig:
     min_epochs: int = 1
     log_every_n_steps: int = 1
     precision: str = "bf16"  # bf16 | fp32 (compute dtype for the backbone)
+    bn_dtype: str = "fp32"  # fp32 | bf16 BatchNorm compute (bf16 skips cast round trips)
     checkpoint_monitor: str = "val/combined/accuracy"
     checkpoint_mode: str = "max"
     early_stopping_monitor: Optional[str] = None

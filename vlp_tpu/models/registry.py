@@ -22,13 +22,16 @@ BACKBONE_FEATURE_DIMS = {
 def create_backbone(name: str, num_classes: int = 0,
                     dtype: jnp.dtype = jnp.bfloat16,
                     axis_name: Optional[str] = None,
-                    dropout_rate: float = 0.0):
+                    dropout_rate: float = 0.0,
+                    norm_dtype: jnp.dtype = jnp.float32):
     """Returns (module, feature_dim). ``num_classes=0`` => features only."""
     if name not in BACKBONE_FEATURE_DIMS:
         raise ValueError(
             f"Unknown backbone {name!r}; allowed: {sorted(BACKBONE_FEATURE_DIMS)}"
         )
     kw = dict(num_classes=num_classes, dtype=dtype, axis_name=axis_name)
+    if name.startswith("resnet"):
+        kw["norm_dtype"] = norm_dtype
     if name == "resnet18":
         m = resnet.resnet18(**kw)
     elif name == "resnet34":

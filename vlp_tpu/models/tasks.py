@@ -40,12 +40,13 @@ class OnlyImagingModel(nn.Module):
 
     backbone_name: str = "resnet34"
     dtype: jnp.dtype = jnp.bfloat16
+    norm_dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
-            axis_name=self.axis_name)
+            axis_name=self.axis_name, norm_dtype=self.norm_dtype)
         self.head = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                              name="head")
 
@@ -60,12 +61,13 @@ class FusionModel(nn.Module):
 
     backbone_name: str = "resnet34"
     dtype: jnp.dtype = jnp.bfloat16
+    norm_dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
-            axis_name=self.axis_name)
+            axis_name=self.axis_name, norm_dtype=self.norm_dtype)
         self.image_head = nn.Dense(10, dtype=jnp.float32,
                                    param_dtype=jnp.float32, name="image_head")
         self.clinical_mlp = ClinicalMLP(name="clinical_mlp")
@@ -132,8 +134,10 @@ class OnlyImagingTask(BaseTask):
     def __init__(self, cfg: Config, statics: TaskStatics,
                  axis_name: Optional[str] = None):
         self.dtype = jnp.bfloat16 if cfg.trainer.precision == "bf16" else jnp.float32
+        norm_dtype = jnp.bfloat16 if cfg.trainer.bn_dtype == "bf16" else jnp.float32
         self.model = OnlyImagingModel(backbone_name=cfg.model.model,
-                                      dtype=self.dtype, axis_name=axis_name)
+                                      dtype=self.dtype, norm_dtype=norm_dtype,
+                                      axis_name=axis_name)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -186,8 +190,10 @@ class FusionTask(BaseTask):
     def __init__(self, cfg: Config, statics: TaskStatics,
                  axis_name: Optional[str] = None):
         self.dtype = jnp.bfloat16 if cfg.trainer.precision == "bf16" else jnp.float32
+        norm_dtype = jnp.bfloat16 if cfg.trainer.bn_dtype == "bf16" else jnp.float32
         self.model = FusionModel(backbone_name=cfg.model.model,
-                                 dtype=self.dtype, axis_name=axis_name)
+                                 dtype=self.dtype, norm_dtype=norm_dtype,
+                                 axis_name=axis_name)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -245,12 +251,13 @@ class VisionLanguageTask(BaseTask):
     def __init__(self, cfg: Config, statics: TaskStatics,
                  axis_name: Optional[str] = None):
         self.dtype = jnp.bfloat16 if cfg.trainer.precision == "bf16" else jnp.float32
+        norm_dtype = jnp.bfloat16 if cfg.trainer.bn_dtype == "bf16" else jnp.float32
         self.model = VisionLanguageModel(
             image_model=cfg.model.model, text_model=cfg.model.text_model,
             embedding_dim=cfg.model.embedding_dim,
             image_dropout=cfg.model.image_dropout,
             logit_scale_init=cfg.model.logit_scale_init,
-            dtype=self.dtype, axis_name=axis_name)
+            dtype=self.dtype, norm_dtype=norm_dtype, axis_name=axis_name)
         self.scale_max = float(cfg.model.logit_scale_max)
         self.loss_variant = cfg.model.loss_variant
         self.statics = statics
