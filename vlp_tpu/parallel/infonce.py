@@ -65,9 +65,10 @@ def global_infonce_shard_map(mesh: Mesh, axis_name: str = "data"):
     materializing the full [B_g, B_g] matrix on one shard."""
 
     body = functools.partial(_local_infonce, axis_name=axis_name)
-    return shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(), P(axis_name)),
-        out_specs=P(),
-        check_rep=False,
-    )
+    kwargs = dict(mesh=mesh,
+                  in_specs=(P(axis_name), P(axis_name), P(), P(axis_name)),
+                  out_specs=P())
+    try:
+        return shard_map(body, check_vma=False, **kwargs)  # jax >= 0.8
+    except TypeError:  # pragma: no cover - older jax
+        return shard_map(body, check_rep=False, **kwargs)
