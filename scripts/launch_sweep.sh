@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# Sweep launch wrapper — the analogue of the reference's
+# scripts/create_sweep_from_config.sh + slurm/train_sweep.sh agent flow.
+# Usage: SWEEP=configs/sweeps/baseline_resnet34.yaml COUNT=20 ./scripts/launch_sweep.sh
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+: "${SWEEP:?set SWEEP=<path to sweep yaml>}"
+COUNT="${COUNT:-10}"
+
+exec python -m vlp_tpu.train.sweep "$SWEEP" --trials "$COUNT" \
+  --output-dir "outputs/sweep_$(basename "$SWEEP" .yaml)"

@@ -214,6 +214,38 @@ def train(cfg: Config) -> Dict[str, float]:
     with open(os.path.join(cfg.output_dir, "cv_summary.json"), "w") as fh:
         json.dump(agg, fh, indent=2)
     logger.info("CV aggregate: %s", {k: round(v, 4) for k, v in agg.items()})
+    if cfg.test and not is_vlp:
+        agg.update(_evaluate_test_set(cfg, dm, mesh))
+    return agg
+
+
+def _evaluate_test_set(cfg: Config, dm, mesh) -> Dict[str, float]:
+    """cfg.test=True: evaluate each fold's best checkpoint on the frozen
+    test split and write the per-subgroup long CSV (the reference runs this
+    via scripts/test_eval_downstream.py after training)."""
+    import glob
+
+    from vlp_tpu.eval.subgroup import evaluate_results
+    from vlp_tpu.eval.test_eval import collect_probs
+
+    ckpts = []
+    for fold_dir in sorted(glob.glob(os.path.join(
+            cfg.output_dir, "checkpoints", "fold*"))):
+        paths = sorted(glob.glob(os.path.join(fold_dir, "epoch*")))
+        if paths:
+            ckpts.append(paths[-1])
+    if not ckpts:
+        logger.warning("test=True but no checkpoints found; skipping")
+        return {}
+    dfs = [collect_probs(cfg, path, dm, fold, mesh)
+           for fold, path in enumerate(ckpts)]
+    out_csv = os.path.join(cfg.output_dir, "test_eval.csv")
+    results = evaluate_results(out_csv, dfs)
+    overall = results[(results.level == "overall")]
+    agg = {f"test/{m}": float(overall[overall.metric == m]["value"].mean())
+           for m in overall.metric.unique()}
+    logger.info("Frozen test set: %s (full CSV: %s)",
+                {k: round(v, 4) for k, v in agg.items()}, out_csv)
     return agg
 
 
