@@ -51,3 +51,22 @@ def test_vlp_e2e_with_probe_and_pak(tmp_path):
     assert "linear_probe_balanced_accuracy" in keys
     assert "downstream_entire/label_precision_at_3_mean" in agg
     assert "val/lera/loss" in keys or "val/mura/loss" in keys
+
+
+@pytest.mark.slow
+def test_supervised_learning_signal(tmp_path):
+    """Regression guard: the classifier must actually LEARN the synthetic
+    tumor signal (val AUROC well above chance within a few epochs)."""
+    cfg = get_experiment("smoke_synthetic_only_imaging")
+    cfg = apply_overrides(cfg, [
+        "data.image_size=64", "data.batch_size=16", "data.eval_batch_size=16",
+        "data.synthetic_num_samples=160", "trainer.max_epochs=6",
+        "optimizer.lr=3e-4", "model.coral_lambda=0.0",
+    ])
+    cfg.output_dir = str(tmp_path)
+    train(cfg)
+    hist = [json.loads(l)
+            for l in open(tmp_path / "metrics_fold0.jsonl")]
+    aurocs = [h["val/combined/auroc"] for h in hist
+              if "val/combined/auroc" in h]
+    assert max(aurocs) > 0.75, f"no learning signal: AUROCs {aurocs}"

@@ -63,6 +63,12 @@ def get_tokenizer(name: str):
     """Returns fn(texts, max_length) -> (ids [N,L] int32, mask [N,L] int32)."""
     hf_name = TOKENIZER_HF_NAMES.get(name, name)
     try:
+        import os
+
+        # hard offline (some HF paths issue retried HEAD requests even with
+        # local_files_only)
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
         from transformers import AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(hf_name, local_files_only=True)

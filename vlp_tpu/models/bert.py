@@ -128,6 +128,12 @@ def load_hf_weights(params: dict, model_key: str) -> Optional[dict]:
     """
     cfg = TEXT_CONFIGS[model_key]
     try:
+        import os
+
+        # hard offline: some HF code paths (adapter discovery) still issue
+        # HEAD requests with retries despite local_files_only
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
         import torch  # noqa: local import; heavy
         from transformers import AutoModel
 
