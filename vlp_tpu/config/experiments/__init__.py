@@ -214,6 +214,101 @@ def baseline_only_imaging_resnet34_only_100(cfg: Config) -> Config:
     return cfg
 
 
+@register_experiment("baseline_only_imaging_resnet34_no_coral")
+def baseline_only_imaging_resnet34_no_coral(cfg: Config) -> Config:
+    """CORAL ablation (reference keeps both variants in the matrix)."""
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.model.coral_lambda = 0.0
+    return cfg
+
+
+@register_experiment("baseline_only_imaging_resnet34_no_stosop")
+def baseline_only_imaging_resnet34_no_stosop(cfg: Config) -> Config:
+    """Without the STOSOP augmentations (crop-larger-dimension off)."""
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.data.crop_larger_dimension = False
+    return cfg
+
+
+@register_experiment("baseline_only_imaging_resnet50")
+def baseline_only_imaging_resnet50(cfg: Config) -> Config:
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.model.model = "resnet50"
+    cfg.model.coral_lambda = 0.0
+    return cfg
+
+
+@register_experiment("baseline_only_imaging_vit_base")
+def baseline_only_imaging_vit_base(cfg: Config) -> Config:
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.model.model = "vit_base_patch16_224"
+    cfg.model.coral_lambda = 0.0
+    cfg.data.batch_size = 32
+    return cfg
+
+
+@register_experiment("pretrain_resnet34_tinybert_masked_loss")
+def pretrain_resnet34_tinybert_masked(cfg: Config) -> Config:
+    """Deprecated duplicate-caption masked-logits loss variant (reference
+    VisionLanguageModule.py:506-546, kept for the ablation)."""
+    cfg = pretrain_resnet34_tinybert(cfg)
+    cfg.model.loss_variant = "masked"
+    return cfg
+
+
+@register_experiment("pretrain_resnet34_tinybert_non_square_loss")
+def pretrain_resnet34_tinybert_non_square(cfg: Config) -> Config:
+    """Deprecated BCE-against-deduplicated-columns variant (reference
+    VisionLanguageModule.py:464-504)."""
+    cfg = pretrain_resnet34_tinybert(cfg)
+    cfg.model.loss_variant = "non_square"
+    return cfg
+
+
+@register_experiment("pretrain_resnet34_tinybert_frozen_text")
+def pretrain_resnet34_tinybert_frozen_text(cfg: Config) -> Config:
+    """Frozen text tower (reference lr=0 removes the group,
+    VisionLanguageModule.py:186-297)."""
+    cfg = pretrain_resnet34_tinybert(cfg)
+    cfg.model.text_encoder_lr = 0.0
+    return cfg
+
+
+@register_experiment("pretrain_resnet34_tinybert_split_lr")
+def pretrain_resnet34_tinybert_split_lr(cfg: Config) -> Config:
+    """Per-tower learning rates."""
+    cfg = pretrain_resnet34_tinybert(cfg)
+    cfg.model.image_encoder_lr = 1e-4
+    cfg.model.text_encoder_lr = 1e-5
+    cfg.model.projection_lr = 1e-3
+    return cfg
+
+
+@register_experiment("pretrain_resnet34_tinybert_no_augs")
+def pretrain_resnet34_tinybert_no_augs(cfg: Config) -> Config:
+    cfg = pretrain_resnet34_tinybert(cfg)
+    cfg.data.disable_augmentations = True
+    return cfg
+
+
+@register_experiment("vlp_finetune_only_imaging_resnet34_frozen_encoder")
+def vlp_finetune_frozen(cfg: Config) -> Config:
+    """Frozen-encoder fine-tune variant (head-only training)."""
+    cfg = vlp_finetune_only_imaging_resnet34(cfg)
+    cfg.model.freeze_encoder = True
+    cfg.model.vision_encoder_lr = None
+    return cfg
+
+
+@register_experiment("fusion_only_100_samples")
+def fusion_only_100(cfg: Config) -> Config:
+    cfg = baseline_fusion_resnet34(cfg)
+    cfg.data.try_with_only_n_samples = 100
+    cfg.trainer.max_epochs = 1
+    cfg.k_fold_cross_validation = False
+    return cfg
+
+
 @register_experiment("smoke_synthetic_only_imaging")
 def smoke_synthetic_only_imaging(cfg: Config) -> Config:
     """CI smoke: tiny synthetic downstream set, 1 epoch, small resnet."""

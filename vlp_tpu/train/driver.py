@@ -186,6 +186,10 @@ def train(cfg: Config) -> Dict[str, float]:
         _maybe_warm_start(cfg, trainer)
         if is_vlp:
             _maybe_load_pretrained_text_tower(cfg, trainer)
+        from vlp_tpu.utils.hparams import log_hyperparameters
+
+        log_hyperparameters(cfg, trainer.state.params,
+                            trainer.state.extra_vars, sink)
         if cfg.ckpt_path:
             # resume training from a saved state (reference passes ckpt_path
             # through to trainer.fit, src/train.py:171)
