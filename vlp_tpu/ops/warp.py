@@ -6,10 +6,14 @@ vlp_tpu.ops.augment._warp_one) lowers to an XLA gather that executes at
 (264 ms of a 292 ms step at batch 128). This module implements the same
 affine family with TPU-friendly primitives:
 
-- rotation + translation via the classic 3-shear decomposition
-  (x-shear, y-shear, x-shear). Each shear resamples along ONE axis with a
-  per-line fractional shift, implemented as row-granular dynamic slices of
-  an edge-padded image (contiguous memory, no per-pixel gather) + a lerp.
+- rotation + translation via the classic 3-shear decomposition (Paeth
+  1986): x-shear, y-shear, x-shear. Each shear is a per-row fractional lane
+  shift executed by the Pallas kernel in vlp_tpu.ops.pallas_shear (bitwise
+  masked in-VMEM rotates — no gathers).
+  Shear coefficients for the inverse map src = R(-theta)(p-c)+c-t:
+    a1 = a3 = -tan(theta/2), a2 = sin(theta), b2 = -ty, b1 = -tx - a1*b2
+  (solved so the composed three-pass map equals the 2-D affine exactly;
+  verified numerically in tests/test_warp.py).
 - zoom via per-sample separable bilinear resampling: two batched matmuls
   (``Wy @ img @ Wx^T``) whose [S,S] weight matrices are built elementwise —
   pure MXU work.
@@ -27,38 +31,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _shear_axis1(img: jax.Array, shift: jax.Array, max_shift: int) -> jax.Array:
-    """out[y, x] = img[y, x + shift[y]] with fractional per-row shift,
-    edge padding. img [H, W], shift [H] float. max_shift bounds |shift|."""
-    h, w = img.shape
-    pad = max_shift + 1
-    padded = jnp.pad(img, ((0, 0), (pad, pad)), mode="edge")  # [H, W+2p]
-    s = jnp.clip(shift, -max_shift, max_shift) + pad  # positive start
-    k = jnp.floor(s).astype(jnp.int32)  # [H]
-    f = (s - k)[:, None]  # [H,1]
-
-    def take_row(row, start):
-        sl = jax.lax.dynamic_slice_in_dim(row, start, w + 1)
-        return sl
-
-    rows = jax.vmap(take_row)(padded, k)  # [H, W+1] contiguous slices
-    return rows[:, :w] * (1.0 - f) + rows[:, 1:] * f
-
-
-def _shear_x(img: jax.Array, a: jax.Array, b: jax.Array,
-             max_shift: int) -> jax.Array:
-    """x-shear: src_x = x + a*(y - cy) + b."""
-    h, _ = img.shape
-    cy = (h - 1) / 2.0
-    v = jnp.arange(h, dtype=jnp.float32) - cy
-    return _shear_axis1(img, a * v + b, max_shift)
-
-
-def _shear_y(img: jax.Array, a: jax.Array, b: jax.Array,
-             max_shift: int) -> jax.Array:
-    """y-shear: src_y = y + a*(x - cx) + b (transpose trick)."""
-    return _shear_x(img.T, a, b, max_shift).T
-
 
 def _zoom_matrix(size: int, zoom: jax.Array) -> jax.Array:
     """[S, S] bilinear resampling weights for src = (x - c)/zoom + c with
@@ -74,30 +46,6 @@ def _zoom_matrix(size: int, zoom: jax.Array) -> jax.Array:
     hi = (cols == jnp.minimum(k + 1, size - 1)[:, None]).astype(
         jnp.float32) * f[:, None]
     return lo + hi
-
-
-def _rotate_translate_one(img: jax.Array, theta: jax.Array, tx: jax.Array,
-                          ty: jax.Array, shear: jax.Array,
-                          max_shift: int) -> jax.Array:
-    """Inverse map src = R(-theta)(p - c) + c - t as 3 shears, matching the
-    gather warp's rotation/translation semantics:
-      a1 = a3 = -tan(theta/2), a2 = sin(theta)
-      b3 = 0, b2 = -ty, b1 = -tx + a1*(-ty)... solved so the composed map is
-      exact (derivation in repo history; verified numerically in tests).
-    The optional content x-shear (pretrain) is fused into the first pass.
-    """
-    half = jnp.tan(theta / 2.0)
-    a1 = -half
-    a2 = jnp.sin(theta)
-    a3 = -half
-    b2 = -ty
-    b1 = -tx - a1 * b2  # solves a1*b2 + b1 = -tx
-    # pass order (image ops applied left to right): P1 x-shear, P2 y-shear,
-    # P3 x-shear; out = P3(P2(P1(img)))
-    out = _shear_x(img, a1 - jnp.tan(shear), b1, max_shift)
-    out = _shear_y(out, a2, b2, max_shift)
-    out = _shear_x(out, a3, jnp.zeros_like(a3), max_shift)
-    return out
 
 
 def _use_pallas_interpret() -> bool:
