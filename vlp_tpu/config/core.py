@@ -120,6 +120,10 @@ class TrainerConfig:
     early_stopping_patience: int = 35
     save_top_k: int = 1
     linear_probe_every_n_epochs: int = 5  # reference LinearProbeCallback.py:33
+    # Cache train-step embeddings for train-epoch retrieval metrics
+    # (reference logs them; fetching per step costs a host sync — disable for
+    # maximum throughput).
+    cache_train_embeddings: bool = True
     deterministic_data: bool = False  # cache val batches (sampler deterministic mode)
     profile: bool = False  # jax.profiler trace capture
     profile_dir: Optional[str] = None

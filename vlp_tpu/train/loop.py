@@ -137,6 +137,7 @@ class Trainer:
         losses = []
         images = 0
         timer = StepTimer(warmup=1)
+        self._train_cache = {"img": [], "txt": [], "label": []}
         profile_ctx = None
         if self.cfg.trainer.profile and epoch == 0:
             profile_dir = self.cfg.trainer.profile_dir or \
@@ -152,10 +153,40 @@ class Trainer:
                 timer.stop()
                 losses.append(aux["loss"])
                 images += int(batch["mask"].shape[0])
+                if self.is_vlp and self.cfg.trainer.cache_train_embeddings:
+                    # cache embeddings for train-epoch retrieval metrics
+                    # (reference VisionLanguageModule.py:556-636)
+                    m = np.asarray(jax.device_get(aux["mask"])) > 0
+                    self._train_cache["img"].append(
+                        np.asarray(jax.device_get(aux["img_emb"]))[m])
+                    self._train_cache["txt"].append(
+                        np.asarray(jax.device_get(aux["txt_emb"]))[m])
+                    self._train_cache["label"].append(
+                        np.asarray(jax.device_get(batch["label"]))[m])
         mean_loss = float(np.mean(jax.device_get(
             jnp.stack(losses)))) if losses else float("nan")
         self._step_times.extend(timer._times)
         return mean_loss, images
+
+    def _train_retrieval_metrics(self) -> Dict[str, float]:
+        """Epoch-level retrieval metrics over the cached TRAIN embeddings
+        (reference computes these per train epoch, :685-700)."""
+        cache = getattr(self, "_train_cache", None)
+        if not cache or not cache["img"]:
+            return {}
+        img = jnp.asarray(np.concatenate(cache["img"]))
+        txt = jnp.asarray(np.concatenate(cache["txt"]))
+        labels = jnp.asarray(np.concatenate(cache["label"]))
+        out: Dict[str, float] = {}
+        ks = tuple(k for k in self.retrieval_ks if k + 1 <= img.shape[0])
+        if ks:
+            p = label_precision_at_k(img, labels, ks=ks)
+            r = image_text_recall_at_k(img, txt, ks=ks)
+            for k in ks:
+                out[f"train/label_precision_at_{k}"] = float(p[k])
+                out[f"train/recall_at_{k}"] = float(r[k])
+        self._train_cache = {"img": [], "txt": [], "label": []}
+        return out
 
     # ------------------------------------------------------------------
     def _validate(self, epoch: int) -> Dict[str, float]:
@@ -164,6 +195,7 @@ class Trainer:
             out.update(self.linear_probe.on_validation_start(
                 epoch, self.variables))
         if self.is_vlp:
+            out.update(self._train_retrieval_metrics())
             out.update(self._validate_vlp())
         else:
             out.update(self._validate_classifier())
