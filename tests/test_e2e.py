@@ -70,3 +70,34 @@ def test_supervised_learning_signal(tmp_path):
     aurocs = [h["val/combined/auroc"] for h in hist
               if "val/combined/auroc" in h]
     assert max(aurocs) > 0.75, f"no learning signal: AUROCs {aurocs}"
+
+
+@pytest.mark.slow
+def test_vlp_to_classifier_transfer(tmp_path):
+    """Full transfer path: pretrain a tiny VLP, then fine-tune an
+    OnlyImaging classifier warm-started from its best checkpoint
+    (reference OnlyImagingModule.py:75-98 flow)."""
+    pre = get_experiment("smoke_synthetic_pretrain")
+    pre = apply_overrides(pre, [
+        "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
+        "data.max_token_length=8", "data.synthetic_num_samples=24",
+        "downstream_data.image_size=32",
+        "downstream_data.synthetic_num_samples=32",
+        "trainer.max_epochs=1",
+    ])
+    pre.output_dir = str(tmp_path / "pretrain")
+    train(pre)
+    ckpts = glob.glob(str(tmp_path / "pretrain" / "checkpoints" / "fold0"
+                          / "epoch*"))
+    assert ckpts, "VLP produced no checkpoint"
+
+    ft = get_experiment("smoke_synthetic_only_imaging")
+    ft = apply_overrides(ft, [
+        "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
+        "data.synthetic_num_samples=24", "trainer.max_epochs=1",
+        f"model.pretrained_ckpt={ckpts[-1]}",
+        "model.vision_encoder_lr=1e-5",  # split-LR fine-tune variant
+    ])
+    ft.output_dir = str(tmp_path / "finetune")
+    agg = train(ft)
+    assert agg["num_folds"] == 1  # ran through with the grafted encoder

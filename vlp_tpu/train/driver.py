@@ -60,17 +60,26 @@ def _maybe_warm_start(cfg: Config, trainer: Trainer) -> None:
         raise ValueError(
             f"experiment {cfg.experiment!r} needs model.pretrained_ckpt "
             "pointing at a VLP checkpoint (override it on the CLI)")
-    tree = ckpt.restore(path, {"params": trainer.params_example,
-                               "extra_vars": trainer.state.extra_vars}
-                        ) if os.path.isdir(path) else None
-    if tree is None:
+    if not os.path.isdir(path):
         raise FileNotFoundError(path)
+    # raw restore: the checkpoint carries the PRODUCER's (VLP) tree, which
+    # differs from this classifier's tree
+    tree = ckpt.restore_raw(path)
     vlp_params = tree["params"]
     encoder = (ckpt.extract_image_encoder(vlp_params)
                if "image_encoder" in vlp_params else vlp_params.get("backbone"))
     new_params = ckpt.graft_backbone(trainer.state.params, encoder)
-    trainer.state = trainer.state.replace(params=new_params)
-    logger.info("Warm-started backbone from %s", path)
+    extra = dict(trainer.state.extra_vars)
+    # BN running statistics ride along with the encoder (the reference's
+    # strict=False load carries them too)
+    src_bs = tree.get("extra_vars", {}).get("batch_stats", {})
+    src_bs = src_bs.get("image_encoder", src_bs.get("backbone"))
+    if src_bs and "batch_stats" in extra and "backbone" in extra["batch_stats"]:
+        bs = dict(extra["batch_stats"])
+        bs["backbone"] = src_bs
+        extra["batch_stats"] = bs
+    trainer.state = trainer.state.replace(params=new_params, extra_vars=extra)
+    logger.info("Warm-started backbone (+BN stats) from %s", path)
 
 
 def _maybe_load_pretrained_text_tower(cfg: Config, trainer: Trainer) -> None:

@@ -85,6 +85,14 @@ def restore(path: str, example_tree: Any) -> Any:
     return ckptr.restore(os.path.abspath(path), abstract)
 
 
+def restore_raw(path: str) -> Any:
+    """Restore a checkpoint with its SAVED structure (no abstract tree) —
+    required when the consumer's tree differs from the producer's, e.g.
+    loading a VLP checkpoint to graft its image tower into a classifier."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
 def extract_image_encoder(vlp_params: Dict) -> Dict:
     """VLP param tree -> image-tower backbone subtree (the analogue of
     stripping the 'image_encoder.model.' state_dict prefix,
