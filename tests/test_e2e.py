@@ -101,3 +101,21 @@ def test_vlp_to_classifier_transfer(tmp_path):
     ft.output_dir = str(tmp_path / "finetune")
     agg = train(ft)
     assert agg["num_folds"] == 1  # ran through with the grafted encoder
+
+
+@pytest.mark.slow
+def test_xrv_style_one_channel_path(tmp_path):
+    """torchxrayvision-style path: 1-channel input + scale-intensity
+    normalization (0..255 -> -1024..1024), ResNet50 backbone (weights fall
+    back to random in zero-egress environments)."""
+    cfg = get_experiment("smoke_synthetic_only_imaging")
+    cfg = apply_overrides(cfg, [
+        "model.model=resnet50", "model.pretrained=true",
+        "data.in_channels=1", "data.scale_intensity_normalization=true",
+        "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
+        "data.synthetic_num_samples=24", "trainer.max_epochs=1",
+    ])
+    cfg.output_dir = str(tmp_path)
+    agg = train(cfg)
+    assert agg["num_folds"] == 1
+    assert "val/combined/accuracy_best_val/combined/accuracy_mean" in agg
