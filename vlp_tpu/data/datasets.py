@@ -15,9 +15,8 @@ caption_id, patient_id/case_number (split-only).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
-import numpy as np
 import pandas as pd
 
 from vlp_tpu.data import encoding
@@ -25,9 +24,7 @@ from vlp_tpu.data.captions import CaptionPool
 from vlp_tpu.data.splits import (
     assert_no_group_leakage,
     check_test_set_hash,
-    create_frozen_split,
     cv_splits,
-    hash_list_of_strings,
     load_frozen_split,
     save_test_set_hash,
 )

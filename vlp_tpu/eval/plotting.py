@@ -10,7 +10,7 @@ pushes them to wandb; the JSONL sink records the paths).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import matplotlib
 

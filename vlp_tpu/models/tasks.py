@@ -16,7 +16,7 @@ Device batch schema (built by the input pipeline; everything fixed-shape):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

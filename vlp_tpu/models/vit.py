@@ -56,6 +56,7 @@ class ViT(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     num_classes: int = 0
+    img_size: int = 224  # pos-embed grid; reference models are 224-locked
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None  # unused (no BN); kept for API parity
 
@@ -67,10 +68,10 @@ class ViT(nn.Module):
         self.cls_token = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, self.hidden_dim),
             jnp.float32)
-        # 224/16 = 14 -> 196 patches + CLS
+        # e.g. 224/16 = 14 -> 196 patches + CLS
         self.pos_embed = self.param(
             "pos_embed", nn.initializers.normal(0.02),
-            (1, (224 // self.patch_size) ** 2 + 1, self.hidden_dim),
+            (1, (self.img_size // self.patch_size) ** 2 + 1, self.hidden_dim),
             jnp.float32)
         self.encoder_blocks = [
             EncoderBlock(self.num_heads, self.mlp_ratio, self.dtype,

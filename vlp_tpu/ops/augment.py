@@ -24,7 +24,7 @@ centered zoom up to the center-pixel convention). Everything runs under one
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

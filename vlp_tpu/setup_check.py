@@ -10,7 +10,6 @@ Run: python -m vlp_tpu.setup_check
 from __future__ import annotations
 
 import importlib
-import sys
 
 
 def check_package(name: str) -> bool:

@@ -18,7 +18,7 @@ import numpy as np
 
 from vlp_tpu.config import Config, apply_overrides
 from vlp_tpu.data.datamodule import DownstreamData, build_datamodule
-from vlp_tpu.models.tasks import TaskStatics, build_task
+from vlp_tpu.models.tasks import build_task
 from vlp_tpu.parallel.mesh import create_mesh
 from vlp_tpu.train.callbacks import LinearProbeCallback
 from vlp_tpu.train.loop import Trainer

@@ -15,7 +15,6 @@ Reference equivalents:
 """
 from __future__ import annotations
 
-import fnmatch
 from typing import Callable, Dict, Optional
 
 import jax

@@ -8,7 +8,7 @@ non-param collections (batch_stats).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np
