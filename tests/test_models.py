@@ -171,3 +171,31 @@ class TestRegistry:
         assert BACKBONE_FEATURE_DIMS["resnet34"] == 512
         assert BACKBONE_FEATURE_DIMS["resnet50"] == 2048
         assert BACKBONE_FEATURE_DIMS["nest_small"] == 384
+
+
+class TestS2DStem:
+    def test_s2d_shapes_match_conv7(self):
+        from vlp_tpu.models.resnet import resnet18
+
+        x = jnp.zeros((2, 64, 64, 3))
+        for stem in ("conv7", "s2d"):
+            m = resnet18(num_classes=1, dtype=jnp.float32, stem=stem)
+            v = m.init(jax.random.key(0), x, train=False)
+            assert m.apply(v, x, train=False).shape == (2, 1)
+            feats = m.apply(v, x, False, method="forward_features")
+            assert feats.shape == (2, 512)
+
+    def test_s2d_gradients_flow(self):
+        from vlp_tpu.models.resnet import resnet18
+
+        m = resnet18(num_classes=1, dtype=jnp.float32, stem="s2d")
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 1))
+        v = m.init(jax.random.key(0), x, train=False)
+
+        def loss(p):
+            out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                             x, train=True, mutable=["batch_stats"])
+            return (out ** 2).mean()
+
+        grads = jax.grad(loss)(v["params"])
+        assert sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)) > 0

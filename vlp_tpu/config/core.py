@@ -50,6 +50,7 @@ class ModelConfig:
     # resnet18|resnet34|resnet50|vit_base_patch16_224|vit_large_patch16_224|
     # nest_small|resnet50-res512-all (torchxrayvision)
     pretrained: bool = False  # torchxrayvision-style pretrained weights
+    stem: str = "conv7"  # conv7 (weight-importable) | s2d (space-to-depth, faster from scratch)
     pretrained_ckpt: Optional[str] = None  # VLP checkpoint warm-start path
     freeze_encoder: bool = False
     vision_encoder_lr: Optional[float] = None  # split-LR param group

@@ -23,7 +23,8 @@ def create_backbone(name: str, num_classes: int = 0,
                     dtype: jnp.dtype = jnp.bfloat16,
                     axis_name: Optional[str] = None,
                     dropout_rate: float = 0.0,
-                    norm_dtype: jnp.dtype = jnp.float32):
+                    norm_dtype: jnp.dtype = jnp.float32,
+                    stem: str = "conv7"):
     """Returns (module, feature_dim). ``num_classes=0`` => features only."""
     if name not in BACKBONE_FEATURE_DIMS:
         raise ValueError(
@@ -32,6 +33,7 @@ def create_backbone(name: str, num_classes: int = 0,
     kw = dict(num_classes=num_classes, dtype=dtype, axis_name=axis_name)
     if name.startswith("resnet"):
         kw["norm_dtype"] = norm_dtype
+        kw["stem"] = stem
     if name == "resnet18":
         m = resnet.resnet18(**kw)
     elif name == "resnet34":

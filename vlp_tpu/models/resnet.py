@@ -122,9 +122,20 @@ class ResNet(nn.Module):
     norm_dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     dropout_rate: float = 0.0
+    # "conv7": torchvision-compatible 7x7/2 stem (weight-importable).
+    # "s2d": space-to-depth stem (2x2 blocks -> 4x4/1 conv) — the MLPerf TPU
+    # trick replacing the MXU-hostile 3-channel conv; from-scratch only.
+    stem: str = "conv7"
 
     def setup(self):
-        self.stem_conv = _conv(64, 7, 2, self.dtype, "stem_conv")
+        if self.stem == "s2d":
+            self.stem_conv = nn.Conv(64, (4, 4), (1, 1),
+                                     padding=((2, 1), (2, 1)), use_bias=False,
+                                     dtype=self.dtype,
+                                     param_dtype=jnp.float32,
+                                     name="stem_conv_s2d")
+        else:
+            self.stem_conv = _conv(64, 7, 2, self.dtype, "stem_conv")
         self.stem_bn = _bn(self.axis_name, "stem_bn", self.norm_dtype)
         expansion = getattr(self.block_cls, "expansion", None)
         blocks = []
@@ -156,6 +167,10 @@ class ResNet(nn.Module):
         """Stem + stages + global average pool -> [B, D] float32."""
         use_ra = not train
         x = x.astype(self.dtype)
+        if self.stem == "s2d":
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
         x = self.stem_conv(x)
         x = self.stem_bn(x.astype(self.norm_dtype), use_running_average=use_ra)
         x = nn.relu(x.astype(self.dtype))

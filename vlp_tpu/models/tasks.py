@@ -42,11 +42,13 @@ class OnlyImagingModel(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    stem: str = "conv7"
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
-            axis_name=self.axis_name, norm_dtype=self.norm_dtype)
+            axis_name=self.axis_name, norm_dtype=self.norm_dtype,
+            stem=self.stem)
         self.head = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                              name="head")
 
@@ -63,11 +65,13 @@ class FusionModel(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    stem: str = "conv7"
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
-            axis_name=self.axis_name, norm_dtype=self.norm_dtype)
+            axis_name=self.axis_name, norm_dtype=self.norm_dtype,
+            stem=self.stem)
         self.image_head = nn.Dense(10, dtype=jnp.float32,
                                    param_dtype=jnp.float32, name="image_head")
         self.clinical_mlp = ClinicalMLP(name="clinical_mlp")
@@ -137,7 +141,8 @@ class OnlyImagingTask(BaseTask):
         norm_dtype = jnp.bfloat16 if cfg.trainer.bn_dtype == "bf16" else jnp.float32
         self.model = OnlyImagingModel(backbone_name=cfg.model.model,
                                       dtype=self.dtype, norm_dtype=norm_dtype,
-                                      axis_name=axis_name)
+                                      axis_name=axis_name,
+                                      stem=cfg.model.stem)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -193,7 +198,7 @@ class FusionTask(BaseTask):
         norm_dtype = jnp.bfloat16 if cfg.trainer.bn_dtype == "bf16" else jnp.float32
         self.model = FusionModel(backbone_name=cfg.model.model,
                                  dtype=self.dtype, norm_dtype=norm_dtype,
-                                 axis_name=axis_name)
+                                 axis_name=axis_name, stem=cfg.model.stem)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -257,7 +262,8 @@ class VisionLanguageTask(BaseTask):
             embedding_dim=cfg.model.embedding_dim,
             image_dropout=cfg.model.image_dropout,
             logit_scale_init=cfg.model.logit_scale_init,
-            dtype=self.dtype, norm_dtype=norm_dtype, axis_name=axis_name)
+            dtype=self.dtype, norm_dtype=norm_dtype, axis_name=axis_name,
+            stem=cfg.model.stem)
         self.scale_max = float(cfg.model.logit_scale_max)
         self.loss_variant = cfg.model.loss_variant
         self.statics = statics
