@@ -93,6 +93,12 @@ class DeviceLoader:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if batch_size % mesh.size != 0:
+                raise ValueError(
+                    f"batch_size={batch_size} must be divisible by the "
+                    f"{mesh.size}-device data mesh (every device gets an "
+                    "equal shard; adjust data.batch_size/eval_batch_size or "
+                    "mesh.data_parallel)")
             self._sharding = NamedSharding(mesh, P(axis_name))
         else:
             self._sharding = None
