@@ -75,6 +75,39 @@ class MetricSnapshot:
         self.sink.log_summary(snapshot)
 
 
+class DownstreamPrecisionAtK:
+    """Zero-shot-style label precision@k of the VLP image tower over the
+    downstream VALIDATION data, computed at every validation epoch end
+    (reference VisionLanguageModule.py:702-705 calling
+    evaluate_downstream_precision_at_k('validation')).
+
+    ``embed(variables) -> (embeddings [N,E], labels [N])`` is supplied by the
+    driver (it owns the downstream loaders + the jitted embedding pass)."""
+
+    def __init__(self, embed: Callable, ks=(3, 5, 10, 15),
+                 every_n_epochs: int = 1) -> None:
+        self.embed = embed
+        self.ks = tuple(ks)
+        self.every_n_epochs = max(1, every_n_epochs)
+
+    def on_validation_end(self, epoch: int, variables) -> Dict[str, float]:
+        if epoch % self.every_n_epochs != 0:
+            return {}
+        import jax.numpy as jnp
+
+        from vlp_tpu.ops.retrieval import label_precision_at_k
+
+        emb, labels = self.embed(variables)
+        emb = jnp.asarray(emb)
+        labels = jnp.asarray(labels)
+        ks = tuple(k for k in self.ks if k + 1 <= emb.shape[0])
+        if not ks:
+            return {}
+        p = label_precision_at_k(emb, labels, ks=ks)
+        return {f"downstream_validation/label_precision_at_{k}": float(p[k])
+                for k in ks}
+
+
 class LinearProbeCallback:
     """Fits a logistic-regression probe on frozen image features every N
     validation epochs. ``extract_features(variables) -> (X_train, y_train,

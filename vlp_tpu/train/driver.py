@@ -20,7 +20,7 @@ from vlp_tpu.config import Config, apply_overrides
 from vlp_tpu.data.datamodule import DownstreamData, build_datamodule
 from vlp_tpu.models.tasks import build_task
 from vlp_tpu.parallel.mesh import create_mesh
-from vlp_tpu.train.callbacks import LinearProbeCallback
+from vlp_tpu.train.callbacks import DownstreamPrecisionAtK, LinearProbeCallback
 from vlp_tpu.train.loop import Trainer
 from vlp_tpu.utils import checkpoint as ckpt
 from vlp_tpu.utils.logging import JsonlSink, MemorySink, MultiSink, get_logger
@@ -126,7 +126,21 @@ def _linear_probe_callback(cfg: Config, mesh, downstream: DownstreamData,
             ys.append(y)
         return feats_tr, y_tr, np.concatenate(xs), np.concatenate(ys)
 
-    return LinearProbeCallback(extract, every_n_epochs=every_n), fold
+    def embed_val(variables):
+        from vlp_tpu.train.step import make_apply_fn
+
+        fn = make_apply_fn(probe_task.embed_images_fn, mesh,
+                           cfg.mesh.axis_name)
+        xs, ys = [], []
+        for loader in fold.val_loaders.values():
+            e, y = _collect(fn, variables, loader)
+            xs.append(e)
+            ys.append(y)
+        return np.concatenate(xs), np.concatenate(ys)
+
+    probe = LinearProbeCallback(extract, every_n_epochs=every_n)
+    pak = DownstreamPrecisionAtK(embed_val, ks=cfg.model.retrieval_ks)
+    return probe, pak, fold
 
 
 def _collect(fn, variables, loader):
@@ -180,9 +194,9 @@ def train(cfg: Config) -> Dict[str, float]:
         sink = MultiSink(sinks)
         statics = fold.statics
         task = build_task(cfg, statics)
-        probe = None
+        probe = pak = None
         if is_vlp and downstream is not None:
-            probe, _ = _linear_probe_callback(
+            probe, pak, _ = _linear_probe_callback(
                 cfg, mesh, downstream,
                 cfg.trainer.linear_probe_every_n_epochs, task)
         trainer = Trainer(
@@ -190,7 +204,7 @@ def train(cfg: Config) -> Dict[str, float]:
             mesh=mesh,
             checkpoint_dir=os.path.join(cfg.output_dir, "checkpoints",
                                         f"fold{fold.index}"),
-            linear_probe=probe,
+            linear_probe=probe, downstream_pak=pak,
             retrieval_ks=cfg.model.retrieval_ks)
         _maybe_warm_start(cfg, trainer)
         if is_vlp:

@@ -49,6 +49,7 @@ class Trainer:
         mesh=None,
         checkpoint_dir: Optional[str] = None,
         linear_probe: Optional[LinearProbeCallback] = None,
+        downstream_pak=None,  # DownstreamPrecisionAtK
         retrieval_ks: Sequence[int] = (3, 5, 10, 15),
     ) -> None:
         self.cfg = cfg
@@ -59,6 +60,7 @@ class Trainer:
         self.mesh = mesh
         self.retrieval_ks = tuple(retrieval_ks)
         self.linear_probe = linear_probe
+        self.downstream_pak = downstream_pak
 
         steps_per_epoch = max(len(train_loader), 1)
         # init
@@ -197,6 +199,9 @@ class Trainer:
         if self.is_vlp:
             out.update(self._train_retrieval_metrics())
             out.update(self._validate_vlp())
+            if self.downstream_pak is not None:
+                out.update(self.downstream_pak.on_validation_end(
+                    epoch, self.variables))
         else:
             out.update(self._validate_classifier())
         return out
