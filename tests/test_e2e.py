@@ -119,3 +119,24 @@ def test_xrv_style_one_channel_path(tmp_path):
     agg = train(cfg)
     assert agg["num_folds"] == 1
     assert "val/combined/accuracy_best_val/combined/accuracy_mean" in agg
+
+
+@pytest.mark.slow
+def test_training_is_deterministic(tmp_path):
+    """Same config + seed twice -> identical loss trajectory (PRNG
+    threading, sampler seeding, and the device pipeline are deterministic)."""
+    def run(out):
+        cfg = get_experiment("smoke_synthetic_only_imaging")
+        cfg = apply_overrides(cfg, [
+            "data.image_size=32", "data.batch_size=8",
+            "data.eval_batch_size=8", "data.synthetic_num_samples=24",
+            "trainer.max_epochs=2",
+        ])
+        cfg.output_dir = str(out)
+        train(cfg)
+        hist = [json.loads(l) for l in open(out / "metrics_fold0.jsonl")]
+        return [h["train/loss"] for h in hist if "train/loss" in h]
+
+    a = run(tmp_path / "a")
+    b = run(tmp_path / "b")
+    assert a == b, f"nondeterministic training: {a} vs {b}"

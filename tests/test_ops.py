@@ -320,3 +320,21 @@ class TestRetrieval:
         out = image_text_recall_at_k(jnp.array(emb), jnp.array(txt), ks=(3, 12))
         assert float(out[12]) == 1.0
         assert float(out[3]) < 1.0
+
+
+class TestShearAugmentation:
+    def test_pretrain_shear_path_changes_output(self):
+        """shear_deg>0 (pretrain config) must engage and alter images."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(0, 255, (4, 64, 64), dtype=np.uint8))
+        base = AugmentConfig(translate_prob=0, rotate_prob=0, zoom_prob=0,
+                             flip_prob=0, noise_prob=0, shear_deg=0.0)
+        sheared = base._replace(shear_deg=5.0, translate_prob=1.0,
+                                translate_px=0.0)  # force the shear gate on
+        a = augment_and_normalize(x, jax.random.key(3), jnp.float32(0.0),
+                                  jnp.float32(1.0), base, out_channels=1,
+                                  dtype=jnp.float32)
+        b = augment_and_normalize(x, jax.random.key(3), jnp.float32(0.0),
+                                  jnp.float32(1.0), sheared, out_channels=1,
+                                  dtype=jnp.float32)
+        assert float(jnp.abs(a - b).max()) > 0.5
