@@ -155,6 +155,11 @@ def main() -> None:
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")
+    if os.path.exists(out_path):  # preserve entries other runs recorded
+        with open(out_path) as fh:
+            merged = json.load(fh)
+        merged.update(results)
+        results = merged
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=2)
     print(f"wrote {out_path}", flush=True)
