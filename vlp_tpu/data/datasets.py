@@ -43,6 +43,27 @@ ENV_PATHS = {
 }
 
 
+def read_table(path: str) -> pd.DataFrame:
+    """Read an .xlsx table, falling back to a same-named .csv when no Excel
+    engine is installed (openpyxl is not in every image) or when the CSV
+    variant exists. The reference reads .xlsx via pandas+openpyxl."""
+    base, ext = os.path.splitext(path)
+    csv_path = base + ".csv"
+    if ext == ".xlsx":
+        if os.path.exists(path):
+            try:
+                return pd.read_excel(path)
+            except ImportError as e:
+                if not os.path.exists(csv_path):
+                    raise RuntimeError(
+                        f"cannot read {path}: no Excel engine installed and "
+                        f"no CSV fallback at {csv_path}") from e
+        if os.path.exists(csv_path):
+            return pd.read_csv(csv_path)
+        raise FileNotFoundError(path)
+    return pd.read_csv(path)
+
+
 def dataset_path(name: str, override: Optional[str] = None) -> str:
     if override:
         return override
@@ -102,7 +123,7 @@ class InternalDataset:
         assert_no_group_leakage(self.train_val, self.test, "patient_number")
 
     def _parse(self) -> List[Sample]:
-        tumors = pd.read_excel(os.path.join(self.path, "included_patients.xlsx"))
+        tumors = read_table(os.path.join(self.path, "included_patients.xlsx"))
         samples: List[Sample] = []
         img_dir = ("images_bounding_box_15_500_BILINEAR"
                    if self.using_crops else "initial_images")
@@ -178,8 +199,8 @@ class BTXRDDataset:
             samples, self.path, cache_dir=cache_dir, dataset_name=self.name)
 
     def _parse(self) -> List[Sample]:
-        df = pd.read_excel(os.path.join(self.path, "dataset.xlsx"))
-        healthy_sites = pd.read_excel(self.healthy_sites_xlsx)
+        df = read_table(os.path.join(self.path, "dataset.xlsx"))
+        healthy_sites = read_table(self.healthy_sites_xlsx)
         healthy_sites["choice"] = healthy_sites["choice"].str.lower()
         site_by_image = dict(zip(healthy_sites["image_file"], healthy_sites["choice"]))
         samples: List[Sample] = []
