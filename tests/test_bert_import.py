@@ -144,3 +144,56 @@ class TestTinybertConversion:
         np.testing.assert_array_equal(
             np.asarray(out["layer3"]["ffn_out"]["kernel"]),
             sd["encoder.layer.3.output.dense.weight"].T)
+
+
+class TestHFValueRoundtrip:
+    """Value-level parity against randomly-initialized HF models built
+    locally (no downloads): convert the state dict and compare CLS outputs.
+    Catches layout/transpose bugs that shape-only tests pass (e.g. a
+    transposed attention out-projection)."""
+
+    def _compare(self, hf_model, our_cfg, converter, seq=12, batch=2):
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from vlp_tpu.models.bert import BertEncoder
+
+        hf_model.eval()
+        sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+        rng = np.random.default_rng(0)
+        ids_np = rng.integers(0, our_cfg.vocab_size, size=(batch, seq))
+        mask_np = np.ones((batch, seq), dtype=np.int64)
+        mask_np[1, seq // 2:] = 0  # exercise key masking
+        enc = BertEncoder(our_cfg, dtype=jnp.float32)
+        ids = jnp.asarray(ids_np, jnp.int32)
+        mask = jnp.asarray(mask_np, jnp.int32)
+        params = enc.init(jax.random.key(0), ids, mask)["params"]
+        ours = np.asarray(enc.apply({"params": converter(params, sd)},
+                                    ids, mask))
+        with torch.no_grad():
+            out = hf_model(input_ids=torch.tensor(ids_np),
+                           attention_mask=torch.tensor(mask_np))
+        theirs = out.last_hidden_state[:, 0].numpy()
+        np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
+
+    def test_distilbert_cls_values_match_hf(self):
+        transformers = pytest.importorskip("transformers")
+        import torch
+
+        torch.manual_seed(0)
+        hf = transformers.DistilBertModel(transformers.DistilBertConfig())
+        self._compare(hf, DISTILBERT, _convert_distilbert)
+
+    def test_tinybert_cls_values_match_hf(self):
+        transformers = pytest.importorskip("transformers")
+        import torch
+
+        torch.manual_seed(0)
+        cfg = transformers.BertConfig(
+            vocab_size=TINYBERT.vocab_size, hidden_size=TINYBERT.hidden_size,
+            num_hidden_layers=TINYBERT.num_layers,
+            num_attention_heads=TINYBERT.num_heads,
+            intermediate_size=TINYBERT.intermediate_size, hidden_act="gelu")
+        hf = transformers.BertModel(cfg, add_pooling_layer=False)
+        self._compare(hf, TINYBERT, _convert_bert)

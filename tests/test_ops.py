@@ -338,3 +338,70 @@ class TestShearAugmentation:
                                   jnp.float32(1.0), sheared, out_channels=1,
                                   dtype=jnp.float32)
         assert float(jnp.abs(a - b).max()) > 0.5
+
+
+class TestAugmentDistribution:
+    """RNG hygiene of _sample_params: applied magnitudes must be independent
+    of the fire/no-fire gate (sharing a key makes bernoulli(k,p)==uniform(k)<p
+    collapse the applied values into the bottom p-quantile), and shear must
+    co-fire with translate under ONE RandAffined-style Bernoulli
+    (reference PretrainDataModule.py:186-198)."""
+
+    N = 20000
+
+    @pytest.fixture(scope="class")
+    def draws(self):
+        from vlp_tpu.ops.augment import _sample_params
+
+        cfg = AugmentConfig(shear_deg=5.0)
+        out = _sample_params(jax.random.key(7), cfg, self.N)
+        names = ("tx", "ty", "theta", "zoom", "shear", "flip", "noise_std")
+        return cfg, {k: np.asarray(v) for k, v in zip(names, out)}
+
+    @staticmethod
+    def _ks_uniform(x, lo, hi):
+        """KS statistic of x against U(lo, hi)."""
+        x = np.sort((x - lo) / (hi - lo))
+        n = len(x)
+        grid = np.arange(1, n + 1) / n
+        return max(np.abs(grid - x).max(), np.abs(grid - 1 / n - x).max())
+
+    def test_fire_rates(self, draws):
+        cfg, d = draws
+        for key, prob in (("theta", cfg.rotate_prob), ("tx", cfg.translate_prob),
+                          ("noise_std", cfg.noise_prob)):
+            rate = (d[key] != 0).mean()
+            assert abs(rate - prob) < 0.02, (key, rate)
+        assert abs((d["zoom"] != 1.0).mean() - cfg.zoom_prob) < 0.02
+
+    def test_applied_magnitudes_cover_full_range_uniformly(self, draws):
+        cfg, d = draws
+        cases = [
+            (d["theta"][d["theta"] != 0], -cfg.rotate_rad, cfg.rotate_rad),
+            (d["tx"][d["tx"] != 0], -cfg.translate_px, cfg.translate_px),
+            (d["ty"][d["ty"] != 0], -cfg.translate_px, cfg.translate_px),
+            (d["zoom"][d["zoom"] != 1.0], cfg.zoom_min, cfg.zoom_max),
+            (d["shear"][d["shear"] != 0], -np.deg2rad(cfg.shear_deg),
+             np.deg2rad(cfg.shear_deg)),
+            (d["noise_std"][d["noise_std"] != 0], 0.0, cfg.noise_std),
+        ]
+        for applied, lo, hi in cases:
+            n = len(applied)
+            assert n > 1000
+            # spans the range with both tails populated
+            assert applied.min() < lo + 0.05 * (hi - lo)
+            assert applied.max() > hi - 0.05 * (hi - lo)
+            # KS vs U(lo,hi); 1.95/sqrt(n) is the alpha=0.001 critical value
+            assert self._ks_uniform(applied, lo, hi) < 1.95 / np.sqrt(n)
+
+    def test_shear_translate_co_occurrence(self, draws):
+        cfg, d = draws
+        fired = d["tx"] != 0
+        np.testing.assert_array_equal(d["shear"] != 0, fired)
+        np.testing.assert_array_equal(d["ty"] != 0, fired)
+
+    def test_gate_independent_of_other_gates(self, draws):
+        _, d = draws
+        rot, zoom = d["theta"] != 0, d["zoom"] != 1.0
+        joint = (rot & zoom).mean()
+        assert abs(joint - rot.mean() * zoom.mean()) < 0.02

@@ -47,8 +47,13 @@ DISTILBERT = BertConfig(hidden_size=768, num_layers=6, num_heads=12,
 TINYBERT = BertConfig(hidden_size=312, num_layers=4, num_heads=12,
                       intermediate_size=1200, use_token_type=True,
                       hf_name="huawei-noah/TinyBERT_General_4L_312D")
+# Not a reference tower: 2-layer micro encoder so sharding dryruns and
+# CPU-mesh tests compile fast while running the same encoder code path.
+MICROBERT = BertConfig(hidden_size=64, num_layers=2, num_heads=2,
+                       intermediate_size=128, max_position=64)
 
-TEXT_CONFIGS = {"distilbert": DISTILBERT, "tinybert": TINYBERT}
+TEXT_CONFIGS = {"distilbert": DISTILBERT, "tinybert": TINYBERT,
+                "microbert": MICROBERT}
 
 
 class BertLayer(nn.Module):
@@ -160,9 +165,12 @@ def _split_heads(w: np.ndarray, b: np.ndarray, heads: int) -> dict:
 
 
 def _merge_heads(w: np.ndarray, b: np.ndarray, heads: int) -> dict:
-    d = w.shape[0]
-    hd = w.shape[1] // heads
-    return {"kernel": jnp.asarray(w.T.reshape(heads, hd, d)),
+    """HF out-projection [d_out, d_in] -> Flax attn 'out' kernel
+    [heads, head_dim, d_out]. HF computes y = x @ W.T, so the Flax kernel is
+    W.T reshaped over the (flattened-head) input dimension."""
+    d_out, d_in = w.shape
+    hd = d_in // heads
+    return {"kernel": jnp.asarray(w.T.reshape(heads, hd, d_out)),
             "bias": jnp.asarray(b)}
 
 
@@ -187,7 +195,7 @@ def _convert_distilbert(params: dict, sd: dict) -> dict:  # pragma: no cover
         lp["attn"]["value"] = _split_heads(
             sd[f"{pre}.attention.v_lin.weight"], sd[f"{pre}.attention.v_lin.bias"], heads)
         lp["attn"]["out"] = _merge_heads(
-            sd[f"{pre}.attention.out_lin.weight"].T,
+            sd[f"{pre}.attention.out_lin.weight"],
             sd[f"{pre}.attention.out_lin.bias"], heads)
         lp["attn_ln"] = {"scale": jnp.asarray(sd[f"{pre}.sa_layer_norm.weight"]),
                          "bias": jnp.asarray(sd[f"{pre}.sa_layer_norm.bias"])}
@@ -226,7 +234,7 @@ def _convert_bert(params: dict, sd: dict) -> dict:  # pragma: no cover
             sd[f"{pre}.attention.self.value.weight"],
             sd[f"{pre}.attention.self.value.bias"], heads)
         lp["attn"]["out"] = _merge_heads(
-            sd[f"{pre}.attention.output.dense.weight"].T,
+            sd[f"{pre}.attention.output.dense.weight"],
             sd[f"{pre}.attention.output.dense.bias"], heads)
         lp["attn_ln"] = {
             "scale": jnp.asarray(sd[f"{pre}.attention.output.LayerNorm.weight"]),

@@ -36,6 +36,8 @@ def create_backbone(name: str, num_classes: int = 0,
         kw["stem"] = stem
     if name == "resnet18":
         m = resnet.resnet18(**kw)
+    elif name == "resnet_micro":
+        m = resnet.resnet_micro(**kw)
     elif name == "resnet34":
         m = resnet.resnet34(**kw)
     elif name in ("resnet50", "resnet50-res512-all"):

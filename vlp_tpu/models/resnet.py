@@ -199,4 +199,12 @@ def resnet50(**kw) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, **kw)
 
 
-FEATURE_DIMS = {"resnet18": 512, "resnet34": 512, "resnet50": 2048}
+def resnet_micro(**kw) -> ResNet:
+    """Two-stage, one-block-per-stage micro ResNet. Not in the reference
+    allowlist — exists so sharding dryruns and CPU-mesh tests compile in
+    seconds while exercising the identical stem/block/BN/pool code paths."""
+    return ResNet(stage_sizes=(1, 1), block_cls=BasicBlock, **kw)
+
+
+FEATURE_DIMS = {"resnet18": 512, "resnet34": 512, "resnet50": 2048,
+                "resnet_micro": 128}

@@ -50,23 +50,30 @@ class AugmentConfig(NamedTuple):
 
 
 def _sample_params(key: jax.Array, cfg: AugmentConfig, batch: int):
-    ks = jax.random.split(key, 8)
+    """Independent keys per (gate, magnitude) draw: sharing a key would make
+    the magnitude conditional on firing (bernoulli(k,p) == uniform(k) < p, so
+    the applied value lands in the bottom p-quantile). Shear fires on the
+    SAME Bernoulli as translate: the reference applies both under one
+    RandAffined p=0.3 draw (PretrainDataModule.py:186-198)."""
+    ks = jax.random.split(key, 11)
     u = lambda k, lo, hi: jax.random.uniform(
         k, (batch,), minval=float(lo), maxval=float(hi))
     b = lambda k, p: jax.random.bernoulli(k, float(p), (batch,))
-    apply_t = b(ks[0], cfg.translate_prob)
-    tx = jnp.where(apply_t, u(ks[1], -cfg.translate_px, cfg.translate_px), 0.0)
-    ty = jnp.where(apply_t, u(ks[2], -cfg.translate_px, cfg.translate_px), 0.0)
-    theta = jnp.where(b(ks[3], cfg.rotate_prob),
-                      u(ks[3], -cfg.rotate_rad, cfg.rotate_rad), 0.0)
-    zoom = jnp.where(b(ks[4], cfg.zoom_prob),
-                     u(ks[4], cfg.zoom_min, cfg.zoom_max), 1.0)
-    flip = b(ks[5], cfg.flip_prob)
+    apply_affine = b(ks[0], cfg.translate_prob)
+    tx = jnp.where(apply_affine,
+                   u(ks[1], -cfg.translate_px, cfg.translate_px), 0.0)
+    ty = jnp.where(apply_affine,
+                   u(ks[2], -cfg.translate_px, cfg.translate_px), 0.0)
     shear = jnp.where(
-        b(ks[6], cfg.translate_prob) & (cfg.shear_deg > 0),
-        u(ks[6], -cfg.shear_deg, cfg.shear_deg) * jnp.pi / 180.0, 0.0)
-    noise_std = jnp.where(b(ks[7], cfg.noise_prob),
-                          u(ks[7], 0.0, cfg.noise_std), 0.0)
+        apply_affine & (cfg.shear_deg > 0),
+        u(ks[3], -cfg.shear_deg, cfg.shear_deg) * jnp.pi / 180.0, 0.0)
+    theta = jnp.where(b(ks[4], cfg.rotate_prob),
+                      u(ks[5], -cfg.rotate_rad, cfg.rotate_rad), 0.0)
+    zoom = jnp.where(b(ks[6], cfg.zoom_prob),
+                     u(ks[7], cfg.zoom_min, cfg.zoom_max), 1.0)
+    flip = b(ks[8], cfg.flip_prob)
+    noise_std = jnp.where(b(ks[9], cfg.noise_prob),
+                          u(ks[10], 0.0, cfg.noise_std), 0.0)
     return tx, ty, theta, zoom, shear, flip, noise_std
 
 
