@@ -241,3 +241,88 @@ class TestShuffleBatchSampler:
         assert mask.tolist() == [1, 1, 1, 0, 0, 0, 0, 0]
         assert padded[:3] == [3, 4, 5]
         assert set(padded[3:]) <= {3, 4, 5}
+
+
+class TestJointStratificationParity:
+    """Fold membership must match the reference's joint stratification
+    labels exactly: INTERNAL f"{tumor}, {anatomy_site}" grouped by patient
+    (INTERNALDataset.py:259), BTXRD f"{tumor}, {site-or-undefined}"
+    ungrouped (BTXRDDataset.py:227-229), MURA/LERA f"{label}, {site}"
+    grouped (MURADataset.py:272). We run sklearn directly with the
+    reference's f-strings and assert identical (train, val) index sets."""
+
+    SITES = ("hand", "knee", "hip", "shoulder", "foot")
+
+    def _downstream_fixture(self, n=200, seed=3):
+        rng = np.random.default_rng(seed)
+        return [{
+            "tumor": int(rng.integers(2)),
+            "anatomy_site": self.SITES[int(rng.integers(len(self.SITES)))],
+            "patient_number": f"P{int(rng.integers(n // 3))}",
+        } for _ in range(n)]
+
+    def test_internal_matches_reference_sklearn(self):
+        from sklearn.model_selection import StratifiedGroupKFold
+
+        from vlp_tpu.data.splits import DOWNSTREAM_STRATIFY, cv_splits
+
+        samples = self._downstream_fixture()
+        ours = cv_splits(samples, n_splits=4,
+                         stratify_keys=DOWNSTREAM_STRATIFY,
+                         group_key="patient_number", seed=42)
+        ref_labels = [f"{d['tumor']}, {d['anatomy_site']}" for d in samples]
+        groups = [d["patient_number"] for d in samples]
+        sgkf = StratifiedGroupKFold(n_splits=4, shuffle=True, random_state=42)
+        theirs = list(sgkf.split(np.zeros(len(samples)), ref_labels, groups))
+        for (otr, ova), (ttr, tva) in zip(ours, theirs):
+            assert list(otr) == list(ttr)
+            assert list(ova) == list(tva)
+
+    def test_btxrd_matches_reference_sklearn(self):
+        from sklearn.model_selection import StratifiedKFold
+
+        from vlp_tpu.data.splits import btxrd_stratify_label, cv_splits
+
+        samples = self._downstream_fixture(n=160, seed=4)
+        ours = cv_splits(samples, n_splits=4,
+                         stratify_fn=btxrd_stratify_label,
+                         group_key=None, seed=42)
+        # exact reference f-string incl. the healthy->'undefined' collapse
+        ref_labels = [
+            f"{d['tumor']}, {d['anatomy_site']})" if d["tumor"] == 1
+            else f"{d['tumor']}, undefined" for d in samples]
+        skf = StratifiedKFold(n_splits=4, shuffle=True, random_state=42)
+        theirs = list(skf.split(np.zeros(len(samples)), ref_labels))
+        for (otr, ova), (ttr, tva) in zip(ours, theirs):
+            assert list(otr) == list(ttr)
+            assert list(ova) == list(tva)
+
+    def test_pretrain_matches_reference_sklearn(self):
+        from sklearn.model_selection import StratifiedGroupKFold
+
+        from vlp_tpu.data.splits import PRETRAIN_STRATIFY, cv_splits
+
+        rng = np.random.default_rng(5)
+        samples = [{
+            "label": int(rng.integers(2)),
+            "anatomy_site": self.SITES[int(rng.integers(len(self.SITES)))],
+            "patient_id": f"p{int(rng.integers(60))}",
+        } for _ in range(250)]
+        ours = cv_splits(samples, n_splits=5,
+                         stratify_keys=PRETRAIN_STRATIFY,
+                         group_key="patient_id", seed=42)
+        ref_labels = [f"{d['label']}, {d['anatomy_site']}" for d in samples]
+        groups = [d["patient_id"] for d in samples]
+        sgkf = StratifiedGroupKFold(n_splits=5, shuffle=True, random_state=42)
+        theirs = list(sgkf.split(np.zeros(len(samples)), ref_labels, groups))
+        for (otr, ova), (ttr, tva) in zip(ours, theirs):
+            assert list(otr) == list(ttr)
+            assert list(ova) == list(tva)
+
+    def test_healthy_btxrd_site_collapses_to_undefined(self):
+        from vlp_tpu.data.splits import btxrd_stratify_label
+
+        healthy = {"tumor": 0, "anatomy_site": "hand"}
+        tumor = {"tumor": 1, "anatomy_site": "hand"}
+        assert "undefined" in btxrd_stratify_label(healthy)
+        assert "hand" in btxrd_stratify_label(tumor)

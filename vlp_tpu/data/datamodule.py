@@ -22,7 +22,13 @@ from vlp_tpu.data.captions import DEFAULT_CAPTIONS_CSV, CaptionPool
 from vlp_tpu.data.pipeline import ArrayBundle, DeviceLoader
 from vlp_tpu.data.preprocess_host import ImageCache, fold_mean_std
 from vlp_tpu.data.sampler import NoDuplicateCaptionSampler, ShuffleBatchSampler
-from vlp_tpu.data.splits import class_weights, cv_splits
+from vlp_tpu.data.splits import (
+    DOWNSTREAM_STRATIFY,
+    PRETRAIN_STRATIFY,
+    btxrd_stratify_label,
+    class_weights,
+    cv_splits,
+)
 from vlp_tpu.data.tokenize import tokenize_all_captions
 from vlp_tpu.models.tasks import TaskStatics
 from vlp_tpu.ops.augment import AugmentConfig
@@ -106,11 +112,11 @@ class DownstreamData:
         internal = [s for s in self.train_val if s["dataset"] == "INTERNAL"]
         btxrd = [s for s in self.train_val if s["dataset"] == "BTXRD"]
         folds_i = cv_splits(internal, n_splits=d.n_folds_downstream,
-                            stratify_keys=("tumor",),
+                            stratify_keys=DOWNSTREAM_STRATIFY,
                             group_key="patient_number", seed=d.seed) \
             if internal else [( [], [] )] * d.n_folds_downstream
         folds_b = cv_splits(btxrd, n_splits=d.n_folds_downstream,
-                            stratify_keys=("tumor",), group_key=None,
+                            stratify_fn=btxrd_stratify_label, group_key=None,
                             seed=d.seed) if btxrd else \
             [([], [])] * d.n_folds_downstream
         out = []
@@ -216,12 +222,12 @@ class PretrainData:
         lera = [s for s in self.train_val if s["dataset"] == "LERA"]
         mura = [s for s in self.train_val if s["dataset"] == "MURA"]
         folds_l = cv_splits(lera, n_splits=d.n_folds_pretrain,
-                            stratify_keys=("label",),
+                            stratify_keys=PRETRAIN_STRATIFY,
                             group_key="case_number", seed=d.seed) \
             if lera else [([], [])] * d.n_folds_pretrain
         folds_m = cv_splits(mura, n_splits=d.n_folds_pretrain,
-                            stratify_keys=("label",), group_key="patient_id",
-                            seed=d.seed) if mura else \
+                            stratify_keys=PRETRAIN_STRATIFY,
+                            group_key="patient_id", seed=d.seed) if mura else \
             [([], [])] * d.n_folds_pretrain
         for k in range(d.n_folds_pretrain):
             train = [lera[i] for i in folds_l[k][0]] + \

@@ -22,7 +22,10 @@ import pandas as pd
 from vlp_tpu.data import encoding
 from vlp_tpu.data.captions import CaptionPool
 from vlp_tpu.data.splits import (
+    DOWNSTREAM_STRATIFY,
+    PRETRAIN_STRATIFY,
     assert_no_group_leakage,
+    btxrd_stratify_label,
     check_test_set_hash,
     cv_splits,
     load_frozen_split,
@@ -111,7 +114,8 @@ class InternalDataset:
 
     name = "INTERNAL"
     cv_group_key = "patient_number"
-    cv_stratify = ("tumor",)
+    # joint (tumor, anatomy_site) stratification (INTERNALDataset.py:259)
+    cv_stratify = DOWNSTREAM_STRATIFY
 
     def __init__(self, path: Optional[str] = None, using_crops: bool = False,
                  cache_dir: Optional[str] = None) -> None:
@@ -186,7 +190,8 @@ class BTXRDDataset:
 
     name = "BTXRD"
     cv_group_key = None
-    cv_stratify = ("tumor",)
+    # (tumor, site-or-'undefined-for-healthy') (BTXRDDataset.py:227-229)
+    cv_stratify_fn = staticmethod(btxrd_stratify_label)
 
     def __init__(self, path: Optional[str] = None,
                  healthy_sites_xlsx: Optional[str] = None,
@@ -221,7 +226,7 @@ class BTXRDDataset:
 
     def cv_folds(self, n_splits: int = 4, seed: int = 42):
         return cv_splits(self.train_val, n_splits=n_splits,
-                         stratify_keys=self.cv_stratify,
+                         stratify_fn=self.cv_stratify_fn,
                          group_key=None, seed=seed)
 
 
@@ -241,7 +246,8 @@ class MURADataset:
 
     name = "MURA"
     cv_group_key = "patient_id"
-    cv_stratify = ("label",)
+    # joint (label, anatomy_site) stratification (MURADataset.py:272)
+    cv_stratify = PRETRAIN_STRATIFY
 
     def __init__(self, caption_pool: CaptionPool, path: Optional[str] = None,
                  cache_dir: str = "datacache") -> None:
@@ -308,7 +314,8 @@ class LERADataset:
 
     name = "LERA"
     cv_group_key = "case_number"
-    cv_stratify = ("label",)
+    # joint (label, anatomy_site) stratification (LERADataset.py:255)
+    cv_stratify = PRETRAIN_STRATIFY
 
     def __init__(self, caption_pool: CaptionPool, path: Optional[str] = None,
                  cache_dir: Optional[str] = None) -> None:

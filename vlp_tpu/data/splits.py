@@ -163,6 +163,22 @@ def _stratify_labels(samples: Sequence[Sample], keys: Sequence[str]) -> np.ndarr
     )
 
 
+# Joint CV stratification keys, matching the reference label strings:
+# INTERNAL f"{tumor}, {anatomy_site}" (INTERNALDataset.py:259), MURA/LERA
+# f"{label}, {anatomy_site}" (MURADataset.py:272, LERADataset.py:255). The
+# separator differs ('|' vs ', ') but sklearn stratification only depends on
+# the label PARTITION, which is identical.
+DOWNSTREAM_STRATIFY = ("tumor", "anatomy_site")
+PRETRAIN_STRATIFY = ("label", "anatomy_site")
+
+
+def btxrd_stratify_label(s: Sample) -> str:
+    """BTXRD stratifies healthy samples as site 'undefined' so the val split
+    matches the pre-site-annotation splits (BTXRDDataset.py:227-229)."""
+    site = s["anatomy_site"] if int(s["tumor"]) == 1 else "undefined"
+    return f"{s['tumor']}|{site}"
+
+
 # --------------------------------------------------------------------------
 # Cross-validation splits
 # --------------------------------------------------------------------------
@@ -171,22 +187,48 @@ def cv_splits(
     samples: Sequence[Sample],
     *,
     n_splits: int,
-    stratify_keys: Sequence[str],
+    stratify_keys: Optional[Sequence[str]] = None,
+    stratify_fn=None,
     group_key: Optional[str] = None,
     seed: int = 42,
 ) -> List[Tuple[List[int], List[int]]]:
     """Yield (train_idx, val_idx) per fold. Grouped variant prevents patient
     leakage (reference INTERNALDataset.py:242-273 / MURADataset.py:261-289
-    group by patient; BTXRD uses plain StratifiedKFold)."""
+    group by patient; BTXRD uses plain StratifiedKFold). ``stratify_fn``
+    overrides key-joining for per-sample label rules (BTXRD healthy sites)."""
     samples = list(samples)
-    y = _stratify_labels(samples, stratify_keys)
-    if group_key is not None:
-        groups = np.array([str(s[group_key]) for s in samples])
-        splitter = StratifiedGroupKFold(n_splits=n_splits, shuffle=True, random_state=seed)
-        splits = splitter.split(np.zeros(len(y)), y, groups)
+    if stratify_fn is not None:
+        y = np.array([str(stratify_fn(s)) for s in samples])
     else:
-        splitter = StratifiedKFold(n_splits=n_splits, shuffle=True, random_state=seed)
-        splits = splitter.split(np.zeros(len(y)), y)
+        y = _stratify_labels(samples, stratify_keys)
+
+    def run(labels):
+        if group_key is not None:
+            groups = np.array([str(s[group_key]) for s in samples])
+            splitter = StratifiedGroupKFold(n_splits=n_splits, shuffle=True,
+                                            random_state=seed)
+            return list(splitter.split(np.zeros(len(labels)), labels, groups))
+        splitter = StratifiedKFold(n_splits=n_splits, shuffle=True,
+                                   random_state=seed)
+        return list(splitter.split(np.zeros(len(labels)), labels))
+
+    try:
+        splits = run(y)
+    except ValueError:
+        # Joint (label, site) classes can be thinner than n_splits on tiny
+        # fixtures/subsampled runs — a regime where the reference's sklearn
+        # call would crash outright. Degrade to the primary key (the part
+        # before the first '|') and say so.
+        primary = np.array([label.split("|", 1)[0] for label in y])
+        if len(set(primary)) == len(set(y)):
+            raise
+        import warnings
+
+        warnings.warn(
+            f"joint stratification infeasible for n_splits={n_splits} "
+            "(a class has fewer members than folds); falling back to the "
+            "primary label only", stacklevel=2)
+        splits = run(primary)
     return [(list(tr), list(va)) for tr, va in splits]
 
 
