@@ -1,0 +1,112 @@
+"""Exact-resume semantics: train(N) == train(k) + resume(N-k) with a
+bitwise-equal loss trajectory. Full-state checkpoints carry params, BN
+stats, optimizer moments, step, device RNG, loop counters, and the train
+sampler's host RNG (Lightning ckpt_path resume parity,
+reference src/train.py:171, configs/train.yaml:53)."""
+import os
+
+import numpy as np
+import pytest
+
+from vlp_tpu.config import Config, apply_overrides
+from vlp_tpu.data.datamodule import build_datamodule
+from vlp_tpu.models.tasks import build_task
+from vlp_tpu.train.loop import Trainer
+
+
+def _cfg(tmp_path):
+    cfg = Config()
+    cfg = apply_overrides(cfg, [
+        "data.name=synthetic_downstream", "data.image_size=32",
+        "data.batch_size=8", "data.eval_batch_size=8",
+        "data.synthetic_num_samples=24", "model.model=resnet_micro",
+        "trainer.max_epochs=5", "trainer.cache_train_embeddings=false",
+    ])
+    cfg.output_dir = str(tmp_path)
+    return cfg
+
+
+def _make_trainer(cfg, ckpt_dir):
+    dm = build_datamodule(cfg)
+    fold = next(dm.folds())
+    task = build_task(cfg, fold.statics)
+    return Trainer(cfg, task, fold.train_loader, fold.val_loaders,
+                   checkpoint_dir=str(ckpt_dir))
+
+
+def _losses(trainer):
+    return [(rec["epoch"], rec["train/loss"]) for rec in trainer.sink.history
+            if "train/loss" in rec]
+
+
+@pytest.mark.slow
+def test_resume_is_bitwise_identical(tmp_path):
+    cfg = _cfg(tmp_path)
+
+    # straight 5-epoch run
+    tr_a = _make_trainer(cfg, tmp_path / "a")
+    tr_a.fit()
+    full = _losses(tr_a)
+    assert [e for e, _ in full] == [0, 1, 2, 3, 4]
+
+    # 3 epochs (same 5-epoch schedule), then resume 2 from the 'last' ckpt
+    tr_b = _make_trainer(cfg, tmp_path / "b")
+    tr_b.fit(max_epochs=3)
+    assert os.path.exists(tmp_path / "b" / "last.meta.json")
+
+    tr_c = _make_trainer(cfg, tmp_path / "c")
+    tr_c.load_resume_state(str(tmp_path / "b" / "last"))
+    assert tr_c.start_epoch == 3
+    assert int(np.asarray(tr_c.state.step)) == int(np.asarray(tr_b.state.step))
+    tr_c.fit()
+    tail = _losses(tr_c)
+
+    assert [e for e, _ in tail] == [3, 4]
+    # BITWISE equality: identical jitted program + restored state/RNGs
+    for (ea, la), (ec, lc) in zip(full[3:], tail):
+        assert ea == ec
+        assert la == lc, (ea, la, lc)
+
+    # resumed params equal straight-run params exactly
+    import jax
+
+    pa = {jax.tree_util.keystr(p): v for p, v in
+          jax.tree_util.tree_leaves_with_path(jax.device_get(tr_a.state.params))}
+    pc = {jax.tree_util.keystr(p): v for p, v in
+          jax.tree_util.tree_leaves_with_path(jax.device_get(tr_c.state.params))}
+    assert set(pa) == set(pc)
+    for k in pa:
+        np.testing.assert_array_equal(np.asarray(pa[k]), np.asarray(pc[k]))
+
+
+@pytest.mark.slow
+def test_best_checkpoint_is_weights_compatible(tmp_path):
+    """Full-state best checkpoints must stay readable by weights-only
+    consumers (transfer surgery, eval CLIs)."""
+    from vlp_tpu.utils import checkpoint as ckpt
+
+    cfg = _cfg(tmp_path)
+    tr = _make_trainer(cfg, tmp_path / "ck")
+    tr.fit(max_epochs=2)
+    best = tr.checkpointer.best_path
+    assert best is not None
+    tree = ckpt.restore(best, {"params": tr.state.params,
+                               "extra_vars": tr.state.extra_vars})
+    assert set(tree) == {"params", "extra_vars"}
+    raw = ckpt.restore_raw(best)
+    assert "opt_state" in raw and "rng_data" in raw
+
+    meta = ckpt.load_meta(best)
+    assert meta is not None and "epoch" in meta
+
+
+def test_weights_only_checkpoint_refuses_full_resume(tmp_path):
+    from vlp_tpu.utils import checkpoint as ckpt
+
+    cfg = _cfg(tmp_path)
+    tr = _make_trainer(cfg, tmp_path / "w")
+    ckpt.save(str(tmp_path / "weights_only"),
+              {"params": tr.state.params, "extra_vars": tr.state.extra_vars})
+    assert ckpt.load_meta(str(tmp_path / "weights_only")) is None
+    with pytest.raises(ValueError, match="weights-only"):
+        tr.load_resume_state(str(tmp_path / "weights_only"))

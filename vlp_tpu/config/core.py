@@ -125,6 +125,14 @@ class TrainerConfig:
     # (reference logs them; fetching per step costs a host sync — disable for
     # maximum throughput).
     cache_train_embeddings: bool = True
+    # Full-state 'last' checkpoint each epoch (params + opt_state + step +
+    # RNG + loop counters) enabling exact resume via ckpt_path — the
+    # analogue of Lightning's resume (reference src/train.py:171).
+    save_last: bool = True
+    # K training steps per jitted dispatch (lax.scan over stacked batches);
+    # 1 = per-step dispatch. >1 amortizes host->device dispatch latency
+    # (~290ms over the remote PJRT tunnel, docs/DESIGN.md §3).
+    scan_steps: int = 8
     deterministic_data: bool = False  # cache val batches (sampler deterministic mode)
     profile: bool = False  # jax.profiler trace capture
     profile_dir: Optional[str] = None

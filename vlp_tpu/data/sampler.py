@@ -98,6 +98,12 @@ class NoDuplicateCaptionSampler:
                     self._cached_batches.append(batch)
                 yield batch
 
+    def rng_state(self) -> dict:
+        return self._rng.bit_generator.state
+
+    def set_rng_state(self, state: dict) -> None:
+        self._rng.bit_generator.state = state
+
     def _take(self, available: Dict[int, List[int]], cid: int) -> int:
         pool = available[cid]
         j = int(self._rng.integers(len(pool)))
@@ -127,6 +133,12 @@ class ShuffleBatchSampler:
         if self.drop_remainder:
             return self.num_samples // self.batch_size
         return math.ceil(self.num_samples / self.batch_size)
+
+    def rng_state(self) -> dict:
+        return self._rng.bit_generator.state
+
+    def set_rng_state(self, state: dict) -> None:
+        self._rng.bit_generator.state = state
 
     def __iter__(self) -> Iterator[List[int]]:
         order = np.arange(self.num_samples)

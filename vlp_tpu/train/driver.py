@@ -216,12 +216,20 @@ def train(cfg: Config) -> Dict[str, float]:
         if cfg.ckpt_path:
             # resume training from a saved state (reference passes ckpt_path
             # through to trainer.fit, src/train.py:171)
-            tree = ckpt.restore(cfg.ckpt_path, {
-                "params": trainer.state.params,
-                "extra_vars": trainer.state.extra_vars})
-            trainer.state = trainer.state.replace(
-                params=tree["params"], extra_vars=tree["extra_vars"])
-            logger.info("Resumed model state from %s", cfg.ckpt_path)
+            if ckpt.load_meta(cfg.ckpt_path) is not None:
+                trainer.load_resume_state(cfg.ckpt_path)
+            else:
+                tree = ckpt.restore(cfg.ckpt_path, {
+                    "params": trainer.state.params,
+                    "extra_vars": trainer.state.extra_vars})
+                trainer.state = trainer.state.replace(
+                    params=tree["params"], extra_vars=tree["extra_vars"])
+                logger.warning(
+                    "ckpt_path %s is a weights-only checkpoint: this is a "
+                    "WARM START, not a resume — optimizer moments, LR "
+                    "schedule position and epoch counters restart from zero "
+                    "(full-state checkpoints carry a .meta.json sidecar)",
+                    cfg.ckpt_path)
         trainer.fit()
         summary = dict(sink.sinks[0].summary)
         if not is_vlp:

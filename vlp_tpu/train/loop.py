@@ -94,16 +94,71 @@ class Trainer:
                                        cfg.trainer.checkpoint_mode)
         self.is_vlp = isinstance(task, VisionLanguageTask)
         self._step_times: List[float] = []
+        self.start_epoch = 0
+        self.checkpoint_dir = checkpoint_dir
 
     # ------------------------------------------------------------------
     @property
     def variables(self) -> Dict:
         return {"params": self.state.params, **self.state.extra_vars}
 
-    def fit(self) -> Dict[str, float]:
+    # -- exact resume ----------------------------------------------------
+    def _loop_meta(self, epoch: int) -> Dict:
+        """Host-side loop counters for the checkpoint meta sidecar."""
+        meta: Dict = {"epoch": int(epoch)}
+        if self.early_stopping:
+            meta["early_stopping"] = {
+                "best": self.early_stopping.best,
+                "wait": self.early_stopping.wait,
+                "should_stop": self.early_stopping.should_stop,
+            }
+        meta["snapshot_best"] = self.snapshot.best
+        if self.checkpointer:
+            meta["checkpoint_best"] = self.checkpointer.best
+            meta["checkpoint_best_path"] = self.checkpointer.best_path
+        sampler = getattr(self.train_loader, "sampler", None)
+        if sampler is not None and hasattr(sampler, "rng_state"):
+            meta["sampler_rng"] = sampler.rng_state()
+        return meta
+
+    def load_resume_state(self, path: str) -> None:
+        """Restore a FULL-state checkpoint: params, BN stats, optimizer
+        moments, step, device RNG, loop counters, and the train sampler's
+        host RNG — training continues exactly where it stopped (Lightning
+        ckpt_path resume semantics, reference src/train.py:171)."""
+        from vlp_tpu.utils import checkpoint as _ckpt
+
+        meta = _ckpt.load_meta(path)
+        if meta is None:
+            raise ValueError(
+                f"{path} is a weights-only checkpoint (no .meta.json); "
+                "use the warm-start path instead")
+        self.state = _ckpt.restore_train_state(path, self.state)
+        self.start_epoch = int(meta["epoch"]) + 1
+        if self.early_stopping and meta.get("early_stopping"):
+            es = meta["early_stopping"]
+            self.early_stopping.best = es["best"]
+            self.early_stopping.wait = int(es["wait"])
+            self.early_stopping.should_stop = bool(es["should_stop"])
+        self.snapshot.best = meta.get("snapshot_best")
+        if self.checkpointer and meta.get("checkpoint_best") is not None:
+            self.checkpointer.best = meta["checkpoint_best"]
+            self.checkpointer.best_path = meta.get("checkpoint_best_path")
+        sampler = getattr(self.train_loader, "sampler", None)
+        if sampler is not None and meta.get("sampler_rng") is not None \
+                and hasattr(sampler, "set_rng_state"):
+            sampler.set_rng_state(meta["sampler_rng"])
+        logger.info("Resumed full training state from %s (next epoch %d)",
+                    path, self.start_epoch)
+
+    def fit(self, max_epochs: Optional[int] = None) -> Dict[str, float]:
+        """``max_epochs`` overrides the loop bound only (the LR schedule
+        keeps cfg.trainer.max_epochs) — lets callers stop early and later
+        resume on the SAME schedule."""
         cfg = self.cfg
         last_metrics: Dict[str, float] = {}
-        for epoch in range(cfg.trainer.max_epochs):
+        end_epoch = cfg.trainer.max_epochs if max_epochs is None else max_epochs
+        for epoch in range(self.start_epoch, end_epoch):
             t0 = time.perf_counter()
             train_loss, images_seen = self._train_epoch(epoch)
             dt = time.perf_counter() - t0
@@ -119,14 +174,22 @@ class Trainer:
             metrics.update(self._validate(epoch))
             self.sink.log(metrics, step=int(jax.device_get(self.state.step)))
             self.snapshot.on_validation_end(epoch, metrics)
-            if self.checkpointer:
-                self.checkpointer.maybe_save(
-                    metrics, {"params": self.state.params,
-                              "extra_vars": self.state.extra_vars}, epoch)
             if self.early_stopping:
                 self.early_stopping.on_validation_end(epoch, metrics)
-                if self.early_stopping.should_stop:
-                    break
+            if self.checkpointer:
+                from vlp_tpu.utils.checkpoint import state_to_tree
+
+                self.checkpointer.maybe_save(
+                    metrics, state_to_tree(self.state), epoch,
+                    meta=self._loop_meta(epoch))
+            if cfg.trainer.save_last and self.checkpoint_dir:
+                from vlp_tpu.utils.checkpoint import save_train_state
+
+                save_train_state(
+                    f"{self.checkpoint_dir}/last", self.state,
+                    meta=self._loop_meta(epoch))
+            if self.early_stopping and self.early_stopping.should_stop:
+                break
             last_metrics = metrics
         return last_metrics
 
@@ -137,7 +200,7 @@ class Trainer:
         import contextlib
 
         losses = []
-        images = 0
+        mask_sums = []
         timer = StepTimer(warmup=1)
         self._train_cache = {"img": [], "txt": [], "label": []}
         profile_ctx = None
@@ -154,7 +217,9 @@ class Trainer:
                 # the authoritative throughput number.
                 timer.stop()
                 losses.append(aux["loss"])
-                images += int(batch["mask"].shape[0])
+                # real samples only — padded tail entries carry mask 0
+                # (device-side sum; fetched once at epoch end, no per-step sync)
+                mask_sums.append(jnp.sum(aux["mask"]))
                 if self.is_vlp and self.cfg.trainer.cache_train_embeddings:
                     # cache embeddings for train-epoch retrieval metrics
                     # (reference VisionLanguageModule.py:556-636)
@@ -167,6 +232,8 @@ class Trainer:
                         np.asarray(jax.device_get(batch["label"]))[m])
         mean_loss = float(np.mean(jax.device_get(
             jnp.stack(losses)))) if losses else float("nan")
+        images = int(np.sum(jax.device_get(jnp.stack(mask_sums)))) \
+            if mask_sums else 0
         self._step_times.extend(timer._times)
         return mean_loss, images
 

@@ -40,9 +40,10 @@ class Checkpointer:
         return value > self.best if self.mode == "max" else value < self.best
 
     def maybe_save(self, metrics: Dict[str, float], state_tree: Any,
-                   epoch: int) -> bool:
+                   epoch: int, meta: Optional[Dict] = None) -> bool:
         """Save when the monitored metric improved; keeps only the best
-        (save_top_k=1)."""
+        (save_top_k=1). ``meta`` adds the loop-counter sidecar that makes
+        the checkpoint exactly resumable."""
         if self.monitor not in metrics:
             return False
         value = float(metrics[self.monitor])
@@ -55,10 +56,20 @@ class Checkpointer:
             self.directory, f"epoch{epoch:03d}_{safe}{value:.4f}")
         self._ckptr.save(self.best_path, state_tree, force=True)
         self._ckptr.wait_until_finished()
+        if meta is not None:
+            import json
+
+            meta = dict(meta)
+            meta["checkpoint_best"] = value
+            meta["checkpoint_best_path"] = self.best_path
+            with open(self.best_path + ".meta.json", "w") as fh:
+                json.dump(meta, fh)
         if old and os.path.exists(old):
             import shutil
 
             shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(old + ".meta.json"):
+                os.remove(old + ".meta.json")
         logger.info("Checkpoint: new best %s=%.4f -> %s", self.monitor,
                     value, self.best_path)
         return True
@@ -67,6 +78,60 @@ class Checkpointer:
         if self.best_path is None:
             raise RuntimeError("no checkpoint saved yet")
         return restore(self.best_path, example_tree)
+
+
+# --------------------------------------------------------------------------
+# Full training-state checkpoints (exact resume)
+# --------------------------------------------------------------------------
+
+def state_to_tree(state) -> Dict:
+    """TrainState -> plain-dict checkpoint tree. Keys 'params'/'extra_vars'
+    stay at the top level so weights-only consumers (transfer surgery, eval
+    CLIs) read full-state checkpoints unchanged. The PRNG key is stored as
+    raw key data (typed key arrays don't serialize portably)."""
+    return {
+        "params": state.params,
+        "extra_vars": state.extra_vars,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "rng_data": jax.random.key_data(state.rng),
+    }
+
+
+def save_train_state(path: str, state, meta: Optional[Dict] = None) -> str:
+    """Save the FULL training state (params, BN stats, optimizer moments,
+    step, RNG) plus a JSON meta sidecar with host-side loop counters (epoch,
+    early-stop/best-metric state, sampler RNG) — the analogue of Lightning's
+    resumable ckpt (reference src/train.py:171, configs/train.yaml:53)."""
+    path = save(path, state_to_tree(state))
+    if meta is not None:
+        import json
+
+        with open(path + ".meta.json", "w") as fh:
+            json.dump(meta, fh)
+    return path
+
+
+def load_meta(path: str) -> Optional[Dict]:
+    """Loop-counter sidecar of a full-state checkpoint; None for
+    weights-only checkpoints (which then warm-start instead of resuming)."""
+    import json
+
+    meta_path = os.path.abspath(path) + ".meta.json"
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        return json.load(fh)
+
+
+def restore_train_state(path: str, example_state):
+    """Restore a full-state checkpoint into a TrainState shaped like
+    ``example_state`` (same model/optimizer config)."""
+    tree = restore(path, state_to_tree(example_state))
+    rng = jax.random.wrap_key_data(tree["rng_data"])
+    return example_state.replace(
+        params=tree["params"], extra_vars=tree["extra_vars"],
+        opt_state=tree["opt_state"], step=tree["step"], rng=rng)
 
 
 def save(path: str, tree: Any) -> str:
@@ -78,11 +143,24 @@ def save(path: str, tree: Any) -> str:
 
 
 def restore(path: str, example_tree: Any) -> Any:
+    """Restore into the shape of ``example_tree``. When the checkpoint holds
+    a SUPERSET of the requested top-level keys (full-state checkpoints read
+    by weights-only consumers), the requested subset is returned."""
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()),
                                        getattr(x, "dtype", None)), example_tree)
-    return ckptr.restore(os.path.abspath(path), abstract)
+    try:
+        return ckptr.restore(os.path.abspath(path), abstract)
+    except Exception:
+        if not isinstance(example_tree, dict):
+            raise
+        raw = restore_raw(path)
+        missing = set(example_tree) - set(raw)
+        if missing:
+            raise KeyError(
+                f"checkpoint {path} lacks requested keys {sorted(missing)}")
+        return {k: raw[k] for k in example_tree}
 
 
 def restore_raw(path: str) -> Any:
