@@ -15,10 +15,17 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# Persistent compile cache (single-core host: compiles dominate cold starts).
+# Persistent compile cache (single-core host: compiles dominate cold starts),
+# scoped by a host-CPU fingerprint: XLA:CPU AOT entries compiled on a machine
+# with different ISA features SIGILL when loaded (axon sessions migrate
+# hosts), so foreign entries must never be visible.
+from vlp_tpu.utils.cache import host_scoped_cache_dir  # noqa: E402
+
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache", "cpu8"),
+    host_scoped_cache_dir(
+        os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+        "cpu8"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 

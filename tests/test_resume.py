@@ -110,3 +110,32 @@ def test_weights_only_checkpoint_refuses_full_resume(tmp_path):
     assert ckpt.load_meta(str(tmp_path / "weights_only")) is None
     with pytest.raises(ValueError, match="weights-only"):
         tr.load_resume_state(str(tmp_path / "weights_only"))
+
+
+@pytest.mark.slow
+def test_scanned_trainer_matches_per_step(tmp_path):
+    """The scanned K-step Trainer path must train the same model as per-step
+    dispatch: identical RNG split sequence per step, so trajectories agree
+    to numerical precision (VERDICT r1 #3/#4)."""
+    cfg_scan = apply_overrides(_cfg(tmp_path), ["trainer.scan_steps=2",
+                                                "trainer.max_epochs=2",
+                                                "trainer.precision=fp32"])
+    tr_scan = _make_trainer(cfg_scan, tmp_path / "scan")
+    assert tr_scan.use_scan
+    tr_scan.fit()
+
+    cfg_step = apply_overrides(_cfg(tmp_path), ["trainer.scan_steps=1",
+                                                "trainer.max_epochs=2",
+                                                "trainer.precision=fp32"])
+    tr_step = _make_trainer(cfg_step, tmp_path / "step")
+    assert not tr_step.use_scan
+    tr_step.fit()
+
+    ls, lp = _losses(tr_scan), _losses(tr_step)
+    assert len(ls) == len(lp) == 2
+    for (ea, la), (eb, lb) in zip(ls, lp):
+        assert ea == eb
+        assert la == pytest.approx(lb, rel=1e-4), (ea, la, lb)
+    # same number of optimizer steps
+    assert int(np.asarray(tr_scan.state.step)) == \
+        int(np.asarray(tr_step.state.step))

@@ -122,9 +122,10 @@ class TrainerConfig:
     save_top_k: int = 1
     linear_probe_every_n_epochs: int = 5  # reference LinearProbeCallback.py:33
     # Cache train-step embeddings for train-epoch retrieval metrics
-    # (reference logs them; fetching per step costs a host sync — disable for
-    # maximum throughput).
-    cache_train_embeddings: bool = True
+    # (reference logs them; fetching per step costs a host sync AND forces
+    # per-step dispatch instead of the scanned K-step path — off by default,
+    # enable when train-epoch retrieval curves are needed).
+    cache_train_embeddings: bool = False
     # Full-state 'last' checkpoint each epoch (params + opt_state + step +
     # RNG + loop counters) enabling exact resume via ckpt_path — the
     # analogue of Lightning's resume (reference src/train.py:171).

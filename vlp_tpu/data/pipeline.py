@@ -136,3 +136,49 @@ class DeviceLoader:
                     raise err[0]
                 return
             yield item
+
+    def _put_chunk(self, host_batches: List[Dict[str, np.ndarray]]):
+        """Stack k host batches to [K, B, ...] and transfer once, sharded
+        P(None, axis) so the scanned step shards batch dim B."""
+        stacked = {k: np.stack([b[k] for b in host_batches])
+                   for k in host_batches[0]}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, self.axis_name))
+            return {k: jax.device_put(v, sh) for k, v in stacked.items()}
+        return {k: jax.device_put(v) for k, v in stacked.items()}
+
+    def iter_scan_chunks(self, k: int) -> Iterator:
+        """Yield ('chunk', [K,B,...] pytree) for every full group of k
+        batches and ('single', [B,...] batch) for the ragged tail — the
+        scanned train step is compiled once for length k, tail batches reuse
+        the per-step program. Prefetched like __iter__."""
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch_depth))
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                group: List[Dict[str, np.ndarray]] = []
+                for indices in self.sampler:
+                    group.append(self.bundle.assemble(indices, self.batch_size))
+                    if len(group) == k:
+                        q.put(("chunk", self._put_chunk(group)))
+                        group = []
+                for b in group:  # ragged tail -> per-step batches
+                    q.put(("single", self._put(b)))
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

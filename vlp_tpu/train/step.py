@@ -63,9 +63,13 @@ def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
         extra = dict(state.extra_vars)
         extra.update(mutated)
+        import jax.numpy as jnp
+
+        images = jnp.sum(batch["mask"]) if "mask" in batch else \
+            jnp.float32(loss.shape[0] if loss.ndim else 0)
         return state.replace(step=state.step + 1, params=params,
                              extra_vars=extra, opt_state=opt_state,
-                             rng=rng), loss
+                             rng=rng), {"loss": loss, "images": images}
 
     def multi_step(state: TrainState, batches: Dict):
         return jax.lax.scan(one_step, state, batches, length=num_steps)

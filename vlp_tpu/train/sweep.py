@@ -99,7 +99,9 @@ class SweepEngine:
         y = np.array([h["value"] for h in done], float)
         if not self.maximize:
             y = -y
-        rf = RandomForestRegressor(n_estimators=30).fit(x, y)
+        rf = RandomForestRegressor(
+            n_estimators=30,
+            random_state=int(self.rng.integers(2**31))).fit(x, y)
         pool = [{k: sample_parameter(self.rng, self.parameters[k])
                  for k in keys} for _ in range(64)]
         px = np.array([[self._numeric(c[k]) for k in keys] for c in pool])
@@ -111,7 +113,12 @@ class SweepEngine:
     def _numeric(v: Any) -> float:
         if isinstance(v, (int, float)):
             return float(v)
-        return float(abs(hash(str(v))) % 10_000)
+        # stable across processes (builtin hash() is randomized per run,
+        # which would make surrogate suggestions irreproducible)
+        import hashlib
+
+        digest = hashlib.sha1(str(v).encode()).digest()
+        return float(int.from_bytes(digest[:4], "big") % 10_000)
 
     # -- execution -----------------------------------------------------------
     def run(self, num_trials: int, train_fn=None) -> Dict[str, Any]:
@@ -168,6 +175,37 @@ def load_sweep(path: str) -> Dict[str, Any]:
         return yaml.safe_load(fh)
 
 
+def to_wandb_config(sweep_config: Dict[str, Any],
+                    program: str = "train.py") -> Dict[str, Any]:
+    """Convert our offline sweep schema to the exact wandb-agent form the
+    reference uses (configs/sweeps/pretrain/vlp_resnet34.yaml:21-40,
+    scripts/create_sweep_from_config.sh): fixed overrides ride in
+    ``command:`` ahead of ``${args_no_hyphens}``. Hand the result to
+    ``wandb sweep`` on a connected machine; this environment is zero-egress
+    so the handoff is emitted, not executed."""
+    out = {
+        "program": program,
+        "method": sweep_config.get("method", "bayes"),
+        "metric": dict(sweep_config.get("metric", {})),
+        "parameters": {k: dict(v) for k, v in
+                       sweep_config.get("parameters", {}).items()},
+        "command": (["python", "${program}"]
+                    + list(sweep_config.get("overrides", []))
+                    + ["${args_no_hyphens}"]),
+    }
+    return out
+
+
+def emit_wandb_sweep(sweep_path: str, out_path: str,
+                     program: str = "train.py") -> str:
+    cfg = to_wandb_config(load_sweep(sweep_path), program)
+    with open(out_path, "w") as fh:
+        yaml.safe_dump(cfg, fh, sort_keys=False)
+    logger.info("wandb sweep config written to %s; on a connected machine: "
+                "wandb sweep %s && wandb agent <id>", out_path, out_path)
+    return out_path
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
     import sys
@@ -177,7 +215,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--trials", type=int, default=10)
     parser.add_argument("--output-dir", default="outputs/sweep")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--emit-wandb", metavar="OUT_YAML", default=None,
+        help="write the wandb-agent form of this sweep and exit "
+             "(the reference's create_sweep_from_config.sh handoff)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    if args.emit_wandb:
+        emit_wandb_sweep(args.sweep_config, args.emit_wandb)
+        return 0
     engine = SweepEngine(load_sweep(args.sweep_config), args.output_dir,
                          args.seed)
     engine.run(args.trials)
