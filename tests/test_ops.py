@@ -405,3 +405,70 @@ class TestAugmentDistribution:
         rot, zoom = d["theta"] != 0, d["zoom"] != 1.0
         joint = (rot & zoom).mean()
         assert abs(joint - rot.mean() * zoom.mean()) < 0.02
+
+
+class TestDeprecatedVariantsReferenceParity:
+    """Golden parity for the deprecated duplicate-caption ablation losses:
+    the torch blocks below transliterate the reference's exact code
+    (VisionLanguageModule.py:464-530, :546-553) and must agree numerically."""
+
+    def _setup(self, seed=0, n=8):
+        rng = np.random.default_rng(seed)
+        logits = rng.normal(size=(n, n)).astype(np.float32)
+        captions = [f"cap{int(c)}" for c in rng.integers(0, 5, size=n)]
+        _, caption_ids = np.unique(captions, return_inverse=True)
+        return logits, captions, caption_ids.astype(np.int32)
+
+    def test_masked_matches_reference_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        logits_np, captions, cids = self._setup()
+        # --- reference _get_mask + logits*mask + symmetric CE ---
+        t = torch.tensor(logits_np)
+        unique_captions = {c: i for i, c in enumerate(set(captions))}
+        caption_ids = torch.tensor([unique_captions[c] for c in captions])
+        eq = caption_ids.unsqueeze(0) == caption_ids.unsqueeze(1)
+        mask = torch.ones_like(eq, dtype=torch.float)
+        mask[eq & ~torch.eye(len(captions), dtype=torch.bool)] = 0.0
+        masked = t * mask
+        labels = torch.arange(len(captions))
+        want = ((F.cross_entropy(masked, labels)
+                 + F.cross_entropy(masked.T, labels)) / 2).item()
+
+        got = float(losses.masked_infonce(jnp.asarray(logits_np),
+                                          jnp.asarray(cids)))
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_non_square_matches_reference_torch(self):
+        import torch
+
+        logits_np, captions, cids = self._setup(seed=1)
+        # --- reference _compute_non_square_loss ---
+        t = torch.tensor(logits_np)
+        _, caption_ids = np.unique(captions, return_inverse=True)
+        caption_ids = torch.tensor(caption_ids, dtype=torch.int64)
+        unique_vals = torch.unique(caption_ids)
+        class_indices = [(caption_ids == v).nonzero(as_tuple=True)[0].tolist()
+                         for v in unique_vals]
+        selected = torch.stack(
+            [torch.where(caption_ids == uid)[0][0] for uid in unique_vals])
+        sel_logits = t[:, selected]
+        labels = torch.zeros_like(sel_logits)
+        for class_id, idxs in enumerate(class_indices):
+            labels[idxs, class_id] = 1.0
+        want = torch.nn.BCEWithLogitsLoss()(sel_logits, labels).item()
+
+        got = float(losses.non_square_infonce(jnp.asarray(logits_np),
+                                              jnp.asarray(cids)))
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_non_square_all_unique_equals_dense_bce(self):
+        rng = np.random.default_rng(2)
+        logits = jnp.asarray(rng.normal(size=(6, 6)).astype(np.float32))
+        cids = jnp.arange(6, dtype=jnp.int32)
+        got = float(losses.non_square_infonce(logits, cids))
+        target = np.eye(6, dtype=np.float32)
+        l = np.asarray(logits)
+        per = np.maximum(l, 0) - l * target + np.log1p(np.exp(-np.abs(l)))
+        assert got == pytest.approx(float(per.mean()), rel=1e-6)

@@ -89,6 +89,14 @@ def get_tokenizer(name: str):
         return HashTokenizer()
 
 
+def tokenizer_is_hash_fallback(name: str) -> bool:
+    """True when `name` resolves to the hash fallback rather than a real HF
+    tokenizer. Pairing hash-vocab token ids with PRETRAINED BERT weights
+    produces garbage silently — callers importing pretrained text towers
+    must hard-error on this combination."""
+    return isinstance(get_tokenizer(name), HashTokenizer)
+
+
 def tokenize_all_captions(
     samples_by_split: Dict[str, List[dict]],
     tokenizer_name: str,

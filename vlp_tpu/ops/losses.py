@@ -135,10 +135,13 @@ def duplicate_caption_mask(caption_ids: jax.Array) -> jax.Array:
 
 
 def masked_infonce(logits: jax.Array, caption_ids: jax.Array) -> jax.Array:
-    """Deprecated duplicate-tolerant variant: duplicate-caption off-diagonal
-    logits masked out of the softmax (reference :536-546)."""
+    """Deprecated duplicate-tolerant variant, exact reference semantics
+    (VisionLanguageModule.py:546-553): duplicate-caption off-diagonal logits
+    are MULTIPLIED BY ZERO — they stay in the softmax as zero-valued logits
+    rather than being excluded (-inf would be the cleaner masking, but the
+    ablation numbers were produced with logits*mask)."""
     m = duplicate_caption_mask(caption_ids)
-    masked = jnp.where(m > 0, logits, -1e9)
+    masked = logits * m
     n = logits.shape[0]
     labels = jnp.arange(n)
     li = _masked_softmax_xent(masked, labels, None)
@@ -147,15 +150,23 @@ def masked_infonce(logits: jax.Array, caption_ids: jax.Array) -> jax.Array:
 
 
 def non_square_infonce(logits: jax.Array, caption_ids: jax.Array) -> jax.Array:
-    """Deprecated BCE-against-deduplicated-columns variant
-    (reference _compute_non_square_loss :464-504): collapse duplicate-caption
-    columns, target = one-hot of own caption; symmetric BCE.
+    """Deprecated dedup-columns BCE variant, exact reference semantics
+    (_compute_non_square_loss :464-504): keep only the FIRST column of each
+    duplicate caption group, target[i,u]=1 iff image i's caption == u,
+    BCEWithLogits mean over the [B, U] matrix.
 
-    Implemented with a dense [B,B] caption-equality target under sigmoid BCE,
-    which is the same objective without the dynamic-shape column dedup
-    (duplicate columns contribute identical terms)."""
-    target = (caption_ids.reshape(-1, 1) == caption_ids.reshape(1, -1)).astype(
-        jnp.float32)
+    Static-shape formulation (XLA needs fixed shapes; U is data-dependent):
+    every column gets a first-occurrence indicator, the BCE grid is weighted
+    by it, and the mean divides by B*U = B*sum(indicator). Duplicate columns
+    therefore carry ZERO weight — a dense mean would re-weight duplicate
+    groups relative to the reference."""
+    cid = caption_ids.reshape(-1)
+    n = cid.shape[0]
+    same = cid.reshape(1, -1) == cid.reshape(-1, 1)  # [j, k] same caption
+    # first occurrence of each caption: argmax returns the first True
+    is_first = (jnp.argmax(same, axis=1) == jnp.arange(n)).astype(jnp.float32)
+    target = same.astype(jnp.float32)
     per = jnp.maximum(logits, 0) - logits * target + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))
-    return per.mean()
+    u = jnp.maximum(is_first.sum(), 1.0)
+    return (per * is_first.reshape(1, -1)).sum() / (n * u)

@@ -95,6 +95,15 @@ def _maybe_load_pretrained_text_tower(cfg: Config, trainer: Trainer) -> None:
     converted = load_hf_weights(params["text_encoder"], cfg.model.text_model)
     if converted is None:
         return
+    from vlp_tpu.data.tokenize import tokenizer_is_hash_fallback
+
+    if tokenizer_is_hash_fallback(cfg.data.tokenizer):
+        raise RuntimeError(
+            f"pretrained {cfg.model.text_model} weights are available but "
+            f"tokenizer {cfg.data.tokenizer!r} fell back to the hash "
+            "tokenizer: hash-vocab token ids into a pretrained BERT "
+            "produce garbage. Stage the HF tokenizer files locally or run "
+            "the text tower from scratch.")
     new_params = dict(params)
     new_params["text_encoder"] = converted
     trainer.state = trainer.state.replace(params=new_params)
