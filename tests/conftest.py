@@ -32,5 +32,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The env vars above are read at jax-import time, and importing
+# vlp_tpu.utils.cache can itself pull in jax first — set the cache config
+# explicitly so the persistent cache engages regardless of import order
+# (same pattern as __graft_entry__.dryrun_multichip).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.default_backend() == "cpu", "tests must not touch the shared TPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

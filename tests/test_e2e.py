@@ -87,8 +87,9 @@ def test_vlp_to_classifier_transfer(tmp_path):
     ])
     pre.output_dir = str(tmp_path / "pretrain")
     train(pre)
-    ckpts = glob.glob(str(tmp_path / "pretrain" / "checkpoints" / "fold0"
-                          / "epoch*"))
+    ckpts = [p for p in glob.glob(str(tmp_path / "pretrain" / "checkpoints"
+                                      / "fold0" / "epoch*"))
+             if os.path.isdir(p)]  # skip the .meta.json resume sidecars
     assert ckpts, "VLP produced no checkpoint"
 
     ft = get_experiment("smoke_synthetic_only_imaging")

@@ -35,7 +35,8 @@ def replot_run(run_dir: str, cfg: Config, mesh) -> List[str]:
     for fold_dir in sorted(glob.glob(os.path.join(run_dir, "checkpoints",
                                                   "fold*"))):
         fold = int(os.path.basename(fold_dir).removeprefix("fold"))
-        ckpts = sorted(glob.glob(os.path.join(fold_dir, "epoch*")))
+        ckpts = sorted(p for p in glob.glob(os.path.join(fold_dir, "epoch*"))
+                       if os.path.isdir(p))  # skip .meta.json sidecars
         if not ckpts:
             continue
         best = ckpts[-1]

@@ -275,7 +275,8 @@ def _evaluate_test_set(cfg: Config, dm, mesh) -> Dict[str, float]:
     ckpts = []
     for fold_dir in sorted(glob.glob(os.path.join(
             cfg.output_dir, "checkpoints", "fold*"))):
-        paths = sorted(glob.glob(os.path.join(fold_dir, "epoch*")))
+        paths = sorted(p for p in glob.glob(os.path.join(fold_dir, "epoch*"))
+                       if os.path.isdir(p))  # skip .meta.json sidecars
         if paths:
             ckpts.append(paths[-1])
     if not ckpts:
