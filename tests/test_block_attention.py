@@ -1,0 +1,90 @@
+"""Fused block-attention kernel (ops/block_attention.py) vs flax reference.
+
+Runs the Pallas kernel under the interpreter on CPU (VLP_PALLAS_INTERPRET);
+value-level parity for forward AND all three input gradients, plus the
+fallback behaviors (mask -> flax path; CPU default -> flax path).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vlp_tpu.ops import block_attention as ba
+
+
+def _qkv(n=2, s=20, h=3, dh=8, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((n, s, h, dh)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+class TestFusedAttentionParity:
+    def test_forward_matches_flax(self, monkeypatch):
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        q, k, v = _qkv()
+        ref = nn.dot_product_attention(q, k, v)
+        out = ba.fused_attention_fn(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_gradients_match_flax(self, monkeypatch):
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        q, k, v = _qkv(seed=1)
+
+        # cos(q) weighting makes every gradient path nontrivial
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) * jnp.cos(q))
+
+        g_ref = jax.grad(loss(nn.dot_product_attention), (0, 1, 2))(q, k, v)
+        g_out = jax.grad(loss(ba.fused_attention_fn), (0, 1, 2))(q, k, v)
+        for a, b in zip(g_ref, g_out):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5)
+
+    def test_nonuniform_rows_softmax_correct(self, monkeypatch):
+        """Rows with very different score magnitudes (max-subtraction path)."""
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        q, k, v = _qkv(seed=2)
+        q = q.at[:, 0].mul(50.0)  # large logits in row 0
+        ref = nn.dot_product_attention(q, k, v)
+        out = ba.fused_attention_fn(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+
+class TestFallbacks:
+    def test_mask_uses_flax_path(self, monkeypatch):
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        q, k, v = _qkv(seed=3)
+        mask = jnp.ones((q.shape[0], 1, q.shape[1], q.shape[1]), bool)
+        mask = mask.at[:, :, :, -5:].set(False)  # pad the last 5 keys
+        ref = nn.dot_product_attention(q, k, v, mask=mask)
+        out = ba.fused_attention_fn(q, k, v, mask=mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+
+    def test_cpu_defaults_to_flax(self, monkeypatch):
+        """Without the interpret opt-in, CPU must not hit the Pallas path."""
+        monkeypatch.delenv("VLP_PALLAS_INTERPRET", raising=False)
+        q, k, v = _qkv(seed=4)
+        ref = nn.dot_product_attention(q, k, v)
+        out = ba.fused_attention_fn(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+
+    def test_encoder_block_fused_flag_numerics(self):
+        """EncoderBlock(fused_attention=True/False) agree on CPU (both take
+        the flax path there; the flag changes nothing semantically)."""
+        from vlp_tpu.models.vit import EncoderBlock
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 16, 24)), jnp.float32)
+        blk_f = EncoderBlock(num_heads=3, dtype=jnp.float32,
+                             fused_attention=True)
+        blk_u = EncoderBlock(num_heads=3, dtype=jnp.float32,
+                             fused_attention=False)
+        p = blk_f.init(jax.random.key(0), x)
+        np.testing.assert_allclose(np.asarray(blk_f.apply(p, x)),
+                                   np.asarray(blk_u.apply(p, x)), atol=1e-6)

@@ -16,6 +16,7 @@ from vlp_tpu.train.driver import train
 def test_supervised_e2e(tmp_path):
     cfg = get_experiment("smoke_synthetic_only_imaging")
     cfg = apply_overrides(cfg, [
+        "model.model=resnet_micro",
         "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
         "data.synthetic_num_samples=24", "trainer.max_epochs=2",
         "model.coral_lambda=1.0",
@@ -39,6 +40,7 @@ def test_supervised_e2e(tmp_path):
 def test_vlp_e2e_with_probe_and_pak(tmp_path):
     cfg = get_experiment("smoke_synthetic_pretrain")
     cfg = apply_overrides(cfg, [
+        "model.model=resnet_micro", "model.text_model=microbert",
         "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
         "data.max_token_length=8", "data.synthetic_num_samples=40",
         "downstream_data.image_size=32",
@@ -59,9 +61,10 @@ def test_supervised_learning_signal(tmp_path):
     tumor signal (val AUROC well above chance within a few epochs)."""
     cfg = get_experiment("smoke_synthetic_only_imaging")
     cfg = apply_overrides(cfg, [
-        "data.image_size=64", "data.batch_size=16", "data.eval_batch_size=16",
-        "data.synthetic_num_samples=160", "trainer.max_epochs=6",
-        "optimizer.lr=3e-4", "model.coral_lambda=0.0",
+        "model.model=resnet_micro",
+        "data.image_size=32", "data.batch_size=16", "data.eval_batch_size=16",
+        "data.synthetic_num_samples=128", "trainer.max_epochs=4",
+        "optimizer.lr=1e-3", "model.coral_lambda=0.0",
     ])
     cfg.output_dir = str(tmp_path)
     train(cfg)
@@ -79,6 +82,7 @@ def test_vlp_to_classifier_transfer(tmp_path):
     (reference OnlyImagingModule.py:75-98 flow)."""
     pre = get_experiment("smoke_synthetic_pretrain")
     pre = apply_overrides(pre, [
+        "model.model=resnet_micro", "model.text_model=microbert",
         "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
         "data.max_token_length=8", "data.synthetic_num_samples=24",
         "downstream_data.image_size=32",
@@ -94,6 +98,7 @@ def test_vlp_to_classifier_transfer(tmp_path):
 
     ft = get_experiment("smoke_synthetic_only_imaging")
     ft = apply_overrides(ft, [
+        "model.model=resnet_micro",  # must match the VLP image tower
         "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
         "data.synthetic_num_samples=24", "trainer.max_epochs=1",
         f"model.pretrained_ckpt={ckpts[-1]}",
@@ -106,12 +111,14 @@ def test_vlp_to_classifier_transfer(tmp_path):
 
 @pytest.mark.slow
 def test_xrv_style_one_channel_path(tmp_path):
-    """torchxrayvision-style path: 1-channel input + scale-intensity
-    normalization (0..255 -> -1024..1024), ResNet50 backbone (weights fall
-    back to random in zero-egress environments)."""
+    """torchxrayvision-style data path end-to-end: 1-channel input +
+    scale-intensity normalization (0..255 -> -1024..1024). Uses the micro
+    backbone for CPU compile speed; the resnet50-res512-all weight-import
+    path itself (incl. the zero-egress random fallback) is covered by
+    tests/test_torch_import.py."""
     cfg = get_experiment("smoke_synthetic_only_imaging")
     cfg = apply_overrides(cfg, [
-        "model.model=resnet50", "model.pretrained=true",
+        "model.model=resnet_micro",
         "data.in_channels=1", "data.scale_intensity_normalization=true",
         "data.image_size=32", "data.batch_size=8", "data.eval_batch_size=8",
         "data.synthetic_num_samples=24", "trainer.max_epochs=1",
@@ -129,6 +136,7 @@ def test_training_is_deterministic(tmp_path):
     def run(out):
         cfg = get_experiment("smoke_synthetic_only_imaging")
         cfg = apply_overrides(cfg, [
+            "model.model=resnet_micro",
             "data.image_size=32", "data.batch_size=8",
             "data.eval_batch_size=8", "data.synthetic_num_samples=24",
             "trainer.max_epochs=2",

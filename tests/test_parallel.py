@@ -59,8 +59,11 @@ class TestShardedTrainStep:
 
         cfg = Config()
         cfg.model.task = "vision_language"
-        cfg.model.model = "resnet18"
-        cfg.model.text_model = "tinybert"
+        # micro towers: same stem/BN-sync/attention code paths as the full
+        # models, ~4x less CPU compile — this test checks SHARDING, not
+        # capacity
+        cfg.model.model = "resnet_micro"
+        cfg.model.text_model = "microbert"
         cfg.trainer.precision = "fp32"
         # SGD so the update is proportional to the gradient: adam's m/sqrt(v)
         # normalization turns fp reduction-order noise on near-zero grads

@@ -69,6 +69,7 @@ class NesT(nn.Module):
     num_classes: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None  # unused; API parity with ResNet
+    fused_attention: bool = False  # Pallas fused attention (block_attention.py)
 
     def setup(self):
         self.patch_embed = nn.Conv(
@@ -87,7 +88,9 @@ class NesT(nn.Module):
                 f"pos_embed_{li}", nn.initializers.normal(0.02),
                 (1, nb, self.block_size**2, dim), jnp.float32))
             levels.append([
-                EncoderBlock(heads, 4.0, self.dtype, name=f"l{li}_block{d}")
+                EncoderBlock(heads, 4.0, self.dtype,
+                             fused_attention=self.fused_attention,
+                             name=f"l{li}_block{d}")
                 for d in range(depth)])
             if li < len(self.embed_dims) - 1:
                 pools.append(ConvPool(self.embed_dims[li + 1], self.dtype,

@@ -34,14 +34,23 @@ class EncoderBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.bfloat16
+    # Pallas fused block-attention (ops/block_attention.py): probs stay in
+    # VMEM, backward recomputes them on-chip. Same math as the flax default.
+    # Off by default: measured slower than XLA's batched einsums for NesT's
+    # head_dim-32 blocks (see benchmarks/); enable per-model once it wins.
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from vlp_tpu.ops.block_attention import fused_attention_fn
+
         d = x.shape[-1]
         y = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x.astype(jnp.float32))
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
-            param_dtype=jnp.float32, name="attn")(y.astype(self.dtype))
+            param_dtype=jnp.float32, name="attn",
+            attention_fn=fused_attention_fn if self.fused_attention
+            else nn.dot_product_attention)(y.astype(self.dtype))
         x = x + y
         y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x.astype(jnp.float32))
         y = MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype,
@@ -59,6 +68,7 @@ class ViT(nn.Module):
     img_size: int = 224  # pos-embed grid; reference models are 224-locked
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None  # unused (no BN); kept for API parity
+    fused_attention: bool = False  # Pallas fused attention (block_attention.py)
 
     def setup(self):
         self.patch_embed = nn.Conv(
@@ -75,6 +85,7 @@ class ViT(nn.Module):
             jnp.float32)
         self.encoder_blocks = [
             EncoderBlock(self.num_heads, self.mlp_ratio, self.dtype,
+                         fused_attention=self.fused_attention,
                          name=f"block{i}") for i in range(self.depth)]
         self.final_ln = nn.LayerNorm(dtype=jnp.float32, name="final_ln")
         if self.num_classes > 0:
