@@ -24,6 +24,9 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, 224, 224, 3)), jnp.bfloat16)
 
+    xs = jnp.broadcast_to(x, (K,) + x.shape) + jnp.arange(
+        K, dtype=jnp.bfloat16)[:, None, None, None, None] * 1e-3
+
     def bench(model):
         params = model.init(jax.random.key(0), x[:2])
 
@@ -31,19 +34,23 @@ def main() -> None:
             return jnp.mean(model.apply(p, x).astype(jnp.float32))
 
         @jax.jit
-        def step(p, x):
-            def body(c, _):
+        def step(p, xs):
+            # real per-step param update + per-step batches: nothing is
+            # loop-invariant, so XLA cannot hoist the model out of the scan
+            # (the earlier constant-carry harness understated train cost)
+            def body(p, x):
                 l, g = jax.value_and_grad(loss_fn)(p, x)
-                return c + l + jax.tree_util.tree_reduce(
-                    lambda a, b: a + jnp.sum(b).astype(jnp.float32), g, 0.0), ()
-            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
-            return out
+                p = jax.tree.map(lambda a, b: a - 1e-6 * b.astype(a.dtype),
+                                 p, g)
+                return p, l
+            p, ls = jax.lax.scan(body, p, xs)
+            return ls[-1]
 
-        float(jax.device_get(step(params, x)))
+        float(jax.device_get(step(params, xs)))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(jax.device_get(step(params, x)))
+            float(jax.device_get(step(params, xs)))
             ts.append(time.perf_counter() - t0)
         return min(ts) / K * 1e3
 

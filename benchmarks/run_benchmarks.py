@@ -103,6 +103,24 @@ def main() -> None:
                                        "coral_lambda": 1000.0})
     measure_train("fusion_train", {"task": "fusion", "model": "resnet34"})
 
+    # transformer/large backbones through the same real-optimizer scan
+    # (supersedes the hand-recorded backbone_train_images_per_sec entries);
+    # nest is recorded with and without the Pallas fused block-attention
+    if os.environ.get("BENCH_BACKBONES", "1") == "1":
+        measure_train("backbone_nest_small",
+                      {"task": "only_imaging", "model": "nest_small"})
+        measure_train("backbone_nest_small_fused",
+                      {"task": "only_imaging", "model": "nest_small",
+                       "fused_attention": True})
+        measure_train("backbone_vit_base",
+                      {"task": "only_imaging",
+                       "model": "vit_base_patch16_224"})
+        measure_train("backbone_vit_base_fused",
+                      {"task": "only_imaging", "model": "vit_base_patch16_224",
+                       "fused_attention": True})
+        measure_train("backbone_resnet50",
+                      {"task": "only_imaging", "model": "resnet50"})
+
     # inference
     cfg = Config()
     cfg.model.task = "only_imaging"
@@ -153,11 +171,46 @@ def main() -> None:
                                "step_ms": round(dt * 1e3, 2)}
     print(f"augmentation: {B/dt:.0f} img/s", flush=True)
 
+    # trainer_loop: the DELIVERED Trainer.fit path (scanned K-step dispatch,
+    # host pipeline, device prefetch) on synthetic 224px pretrain data —
+    # must stay within ~10% of the vlp_train scan-microbenchmark number
+    # (VERDICT r1 #4 acceptance).
+    if os.environ.get("BENCH_TRAINER_LOOP", "1") == "1":
+        import tempfile
+
+        from vlp_tpu.config import apply_overrides, get_experiment
+        from vlp_tpu.train.driver import train as driver_train
+
+        cfg = get_experiment("smoke_synthetic_pretrain")
+        cfg = apply_overrides(cfg, [
+            "model.model=resnet34", "model.text_model=tinybert",
+            "data.image_size=224", "data.batch_size=128",
+            "data.eval_batch_size=128", "data.max_token_length=40",
+            f"data.synthetic_num_samples={10 * B}",
+            "downstream_data.synthetic_num_samples=64",
+            "trainer.max_epochs=2", "trainer.precision=bf16",
+            # probe/pak run OUTSIDE the timed train loop; tiny downstream
+            # set keeps their wall cost negligible
+        ])
+        cfg.output_dir = tempfile.mkdtemp(prefix="bench_trainer_")
+        driver_train(cfg)
+        hist = [json.loads(l) for l in
+                open(os.path.join(cfg.output_dir, "metrics_fold0.jsonl"))]
+        ips = [h["train/images_per_sec"] for h in hist
+               if "train/images_per_sec" in h]
+        results["trainer_loop"] = {
+            "images_per_sec": round(max(ips), 1),  # epoch 0 pays compile
+            "epochs_measured": len(ips)}
+        print(f"trainer_loop: {max(ips):.0f} img/s (epochs: "
+              f"{[round(x) for x in ips]})", flush=True)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")
     if os.path.exists(out_path):  # preserve entries other runs recorded
         with open(out_path) as fh:
             merged = json.load(fh)
+        # superseded by the backbone_* real-optimizer entries
+        merged.pop("backbone_train_images_per_sec", None)
         merged.update(results)
         results = merged
     with open(out_path, "w") as fh:

@@ -74,17 +74,51 @@ class TestFallbacks:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
 
-    def test_encoder_block_fused_flag_numerics(self):
-        """EncoderBlock(fused_attention=True/False) agree on CPU (both take
-        the flax path there; the flag changes nothing semantically)."""
-        from vlp_tpu.models.vit import EncoderBlock
+    def test_fused_module_kernel_vs_xla_paths(self, monkeypatch):
+        """FusedSelfAttention: the Pallas path (interpret) and the CPU XLA
+        path produce identical values for the same params."""
+        from vlp_tpu.models.vit import FusedSelfAttention
 
         rng = np.random.default_rng(5)
         x = jnp.asarray(rng.standard_normal((2, 16, 24)), jnp.float32)
-        blk_f = EncoderBlock(num_heads=3, dtype=jnp.float32,
-                             fused_attention=True)
-        blk_u = EncoderBlock(num_heads=3, dtype=jnp.float32,
+        mod = FusedSelfAttention(num_heads=3, dtype=jnp.float32)
+        p = mod.init(jax.random.key(0), x)
+        monkeypatch.delenv("VLP_PALLAS_INTERPRET", raising=False)
+        xla = mod.apply(p, x)
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        pallas = mod.apply(p, x)
+        np.testing.assert_allclose(np.asarray(pallas), np.asarray(xla),
+                                   atol=1e-5)
+
+    def test_encoder_block_fused_flag_numerics(self, monkeypatch):
+        """EncoderBlock(fused_attention=True/False) agree numerically when
+        the fused variant's qkv/out params are assembled from the unfused
+        flax MHA params (the trees differ by construction)."""
+        from vlp_tpu.models.vit import EncoderBlock
+
+        rng = np.random.default_rng(6)
+        d, h = 24, 3
+        x = jnp.asarray(rng.standard_normal((2, 16, d)), jnp.float32)
+        blk_u = EncoderBlock(num_heads=h, dtype=jnp.float32,
                              fused_attention=False)
-        p = blk_f.init(jax.random.key(0), x)
-        np.testing.assert_allclose(np.asarray(blk_f.apply(p, x)),
-                                   np.asarray(blk_u.apply(p, x)), atol=1e-6)
+        blk_f = EncoderBlock(num_heads=h, dtype=jnp.float32,
+                             fused_attention=True)
+        pu = blk_u.init(jax.random.key(0), x)["params"]
+        pf = jax.tree.map(lambda a: a, blk_f.init(jax.random.key(0), x))
+        a = pu["attn"]
+        qkv_kernel = np.concatenate(
+            [np.asarray(a[k]["kernel"]).reshape(d, d)
+             for k in ("query", "key", "value")], axis=1)
+        qkv_bias = np.concatenate(
+            [np.asarray(a[k]["bias"]).reshape(d) for k in
+             ("query", "key", "value")])
+        pf["params"]["attn"]["qkv"]["kernel"] = jnp.asarray(qkv_kernel)
+        pf["params"]["attn"]["qkv"]["bias"] = jnp.asarray(qkv_bias)
+        pf["params"]["attn"]["out"]["kernel"] = jnp.asarray(
+            np.asarray(a["out"]["kernel"]).reshape(d, d))
+        pf["params"]["attn"]["out"]["bias"] = a["out"]["bias"]
+        for nm in ("ln1", "ln2", "mlp"):
+            pf["params"][nm] = pu[nm]
+        np.testing.assert_allclose(
+            np.asarray(blk_f.apply(pf, x)),
+            np.asarray(blk_u.apply({"params": pu}, x)), atol=1e-5)

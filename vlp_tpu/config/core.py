@@ -51,6 +51,9 @@ class ModelConfig:
     # nest_small|resnet50-res512-all (torchxrayvision)
     pretrained: bool = False  # torchxrayvision-style pretrained weights
     stem: str = "conv7"  # conv7 (weight-importable) | s2d (space-to-depth, faster from scratch)
+    # ViT/NesT Pallas fused block-attention (ops/block_attention.py);
+    # None = model default. Changes the attn param-tree structure.
+    fused_attention: Optional[bool] = None
     pretrained_ckpt: Optional[str] = None  # VLP checkpoint warm-start path
     freeze_encoder: bool = False
     vision_encoder_lr: Optional[float] = None  # split-LR param group

@@ -24,8 +24,13 @@ def create_backbone(name: str, num_classes: int = 0,
                     axis_name: Optional[str] = None,
                     dropout_rate: float = 0.0,
                     norm_dtype: jnp.dtype = jnp.float32,
-                    stem: str = "conv7"):
-    """Returns (module, feature_dim). ``num_classes=0`` => features only."""
+                    stem: str = "conv7",
+                    fused_attention: Optional[bool] = None):
+    """Returns (module, feature_dim). ``num_classes=0`` => features only.
+
+    ``fused_attention``: Pallas fused block-attention for ViT/NesT
+    (ops/block_attention.py). None = the model's default. Changes the attn
+    param-tree structure (FusedSelfAttention docstring)."""
     if name not in BACKBONE_FEATURE_DIMS:
         raise ValueError(
             f"Unknown backbone {name!r}; allowed: {sorted(BACKBONE_FEATURE_DIMS)}"
@@ -34,6 +39,8 @@ def create_backbone(name: str, num_classes: int = 0,
     if name.startswith("resnet"):
         kw["norm_dtype"] = norm_dtype
         kw["stem"] = stem
+    elif fused_attention is not None:
+        kw["fused_attention"] = fused_attention
     if name == "resnet18":
         m = resnet.resnet18(**kw)
     elif name == "resnet_micro":

@@ -43,12 +43,13 @@ class OnlyImagingModel(nn.Module):
     norm_dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     stem: str = "conv7"
+    fused_attention: Optional[bool] = None  # ViT/NesT Pallas attention
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
             axis_name=self.axis_name, norm_dtype=self.norm_dtype,
-            stem=self.stem)
+            stem=self.stem, fused_attention=self.fused_attention)
         self.head = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                              name="head")
 
@@ -66,12 +67,13 @@ class FusionModel(nn.Module):
     norm_dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     stem: str = "conv7"
+    fused_attention: Optional[bool] = None  # ViT/NesT Pallas attention
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
             axis_name=self.axis_name, norm_dtype=self.norm_dtype,
-            stem=self.stem)
+            stem=self.stem, fused_attention=self.fused_attention)
         self.image_head = nn.Dense(10, dtype=jnp.float32,
                                    param_dtype=jnp.float32, name="image_head")
         self.clinical_mlp = ClinicalMLP(name="clinical_mlp")
@@ -142,7 +144,8 @@ class OnlyImagingTask(BaseTask):
         self.model = OnlyImagingModel(backbone_name=cfg.model.model,
                                       dtype=self.dtype, norm_dtype=norm_dtype,
                                       axis_name=axis_name,
-                                      stem=cfg.model.stem)
+                                      stem=cfg.model.stem,
+                                      fused_attention=cfg.model.fused_attention)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -198,7 +201,8 @@ class FusionTask(BaseTask):
         norm_dtype = jnp.bfloat16 if cfg.trainer.bn_dtype == "bf16" else jnp.float32
         self.model = FusionModel(backbone_name=cfg.model.model,
                                  dtype=self.dtype, norm_dtype=norm_dtype,
-                                 axis_name=axis_name, stem=cfg.model.stem)
+                                 axis_name=axis_name, stem=cfg.model.stem,
+                                 fused_attention=cfg.model.fused_attention)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -263,7 +267,8 @@ class VisionLanguageTask(BaseTask):
             image_dropout=cfg.model.image_dropout,
             logit_scale_init=cfg.model.logit_scale_init,
             dtype=self.dtype, norm_dtype=norm_dtype, axis_name=axis_name,
-            stem=cfg.model.stem)
+            stem=cfg.model.stem,
+            fused_attention=cfg.model.fused_attention)
         self.scale_max = float(cfg.model.logit_scale_max)
         self.loss_variant = cfg.model.loss_variant
         self.statics = statics

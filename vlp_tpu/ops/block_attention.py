@@ -7,18 +7,25 @@ heads x 196x196 bf16 = 472 MB per layer per direction, and XLA additionally
 SAVES the tensor as a backward residual. This kernel keeps scores/probs
 entirely in VMEM: the forward computes softmax(q k^T / sqrt(d)) v per
 (sample, head) in one program, and the custom-VJP backward RECOMPUTES the
-probabilities on-chip (flash-attention-style), so only q, k, v, o and their
+probabilities on-chip (flash-attention-style), so only qkv, o and their
 gradients ever touch HBM.
 
-Design notes (TPU):
-- q/k/v ride as [N, S, D] with heads packed in the minor dim (D = H*Dh), so
-  VMEM tiles stay [*, 128k]-aligned; per-head slices are static lane slices.
+Design notes (TPU, measured on v5e through several iterations):
+- The kernel takes the PACKED [N, S, 3D] projection output directly (D =
+  H*Dh, q | k | v concatenated in the minor dim). Splitting into separate
+  q/k/v arrays at the XLA level costs lane-relayout copies whenever D is not
+  a multiple of 128 (NesT level 0: D=96), and the flax [N, S, H, Dh] head
+  layout costs ~0.3 ms per reshape on [2048,196,96]; in-kernel static lane
+  slices cost neither. The backward emits dqkv in the same packed form, so
+  XLA never concatenates gradient pieces either.
 - No streaming/tiling over S: S <= ~512 fits whole in VMEM (scores are
   [S, S] fp32 <= 1 MB), which is exactly the NesT block / ViT / BERT-40
   regime. This is deliberately NOT a general flash-attention kernel.
-- Softmax in fp32 (max-subtracted); matmuls hit the MXU in bf16 with fp32
-  accumulation via preferred_element_type.
-- The head loop is a static Python loop -> fully unrolled Mosaic program.
+- Softmax in fp32 (max-subtracted); normalization is deferred out of the
+  [S, S] matrix into the small [S, Dh] operands on both passes.
+- Several samples per grid program (g in _group_size) amortize program
+  overhead; the g/head loops are static Python loops -> fully unrolled
+  Mosaic program.
 
 Reference semantics: identical to flax nn.dot_product_attention without
 mask/bias/dropout (reference VisionLanguageModule/timm attention is plain
@@ -27,6 +34,7 @@ softmax attention; dropout is disabled everywhere in the reference configs).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,112 +42,139 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, head_dim: int,
+def _fwd_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int,
                 scale: float):
-    for h in range(num_heads):
-        lo = h * head_dim
-        q = q_ref[0, :, lo:lo + head_dim]  # [S, Dh] bf16
-        k = k_ref[0, :, lo:lo + head_dim]
-        v = v_ref[0, :, lo:lo + head_dim]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [S, S] f32
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(q.dtype), v,
-                    preferred_element_type=jnp.float32)  # [S, Dh]
-        o_ref[0, :, lo:lo + head_dim] = o.astype(o_ref.dtype)
+    d = num_heads * head_dim
+    for g in range(qkv_ref.shape[0]):
+        for h in range(num_heads):
+            lo = h * head_dim
+            q = qkv_ref[g, :, lo:lo + head_dim]  # [S, Dh] bf16
+            k = qkv_ref[g, :, d + lo:d + lo + head_dim]
+            v = qkv_ref[g, :, 2 * d + lo:2 * d + lo + head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [S, S] f32
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)  # unnormalized probs
+            l = jnp.sum(p, axis=-1, keepdims=True)  # [S, 1]
+            # normalization deferred to the [S, Dh] output: saves a full
+            # VPU divide pass over the [S, S] matrix
+            o = jnp.dot(p.astype(q.dtype), v,
+                        preferred_element_type=jnp.float32) / l
+            o_ref[g, :, lo:lo + head_dim] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                num_heads: int, head_dim: int, scale: float):
-    for h in range(num_heads):
-        lo = h * head_dim
-        q = q_ref[0, :, lo:lo + head_dim]
-        k = k_ref[0, :, lo:lo + head_dim]
-        v = v_ref[0, :, lo:lo + head_dim]
-        do = do_ref[0, :, lo:lo + head_dim]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)  # [S, S] f32
-        pb = p.astype(q.dtype)
-        # dV = P^T dO
-        dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        # dP = dO V^T
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        # dS = P * (dP - rowsum(dP * P))   (softmax backward)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsb = ds.astype(q.dtype)
-        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        dq_ref[0, :, lo:lo + head_dim] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, lo:lo + head_dim] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, lo:lo + head_dim] = dv.astype(dv_ref.dtype)
+def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int, head_dim: int,
+                scale: float):
+    d = num_heads * head_dim
+    for g in range(qkv_ref.shape[0]):
+        for h in range(num_heads):
+            lo = h * head_dim
+            q = qkv_ref[g, :, lo:lo + head_dim]
+            k = qkv_ref[g, :, d + lo:d + lo + head_dim]
+            v = qkv_ref[g, :, 2 * d + lo:2 * d + lo + head_dim]
+            do = do_ref[g, :, lo:lo + head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)  # unnormalized; P = p / l
+            inv_l = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            pb = p.astype(q.dtype)
+            # dV = P^T dO = p^T (dO * inv_l): row-scale the SMALL [S, Dh]
+            # operand instead of normalizing the [S, S] matrix
+            dov = (do.astype(jnp.float32) * inv_l).astype(q.dtype)
+            dv = jax.lax.dot_general(pb, dov, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            # dP = dO V^T
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            # dS = P*(dP - rowsum(dP*P)) = inv_l*(p*dP - p*rowsum(p*dP)/l)
+            t = p * dp
+            c = jnp.sum(t, axis=-1, keepdims=True) * inv_l  # rowsum(dP*P)
+            ds = (t - p * c) * inv_l
+            dsb = ds.astype(q.dtype)
+            dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dqkv_ref[g, :, lo:lo + head_dim] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, d + lo:d + lo + head_dim] = \
+                dk.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, 2 * d + lo:2 * d + lo + head_dim] = \
+                dv.astype(dqkv_ref.dtype)
 
 
-def _row_specs(n: int, s: int, d: int, count: int):
-    return [pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM) for _ in range(count)]
+def _group_size(n: int, s: int, d: int) -> int:
+    """Samples per grid program: amortizes per-program overhead while
+    keeping the backward's double-buffered blocks (qkv + dqkv + do = 7*D
+    bf16 per row) inside the ~16 MB VMEM budget."""
+    budget = 6 * 1024 * 1024  # per-buffer-set bytes, x2 for double buffering
+    per_sample = 7 * d * s * 2
+    for g in (4, 2):
+        if n % g == 0 and g * per_sample <= budget:
+            return g
+    return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _attend(q, k, v, num_heads: int, scale: float, interpret: bool):
-    return _attend_fwd(q, k, v, num_heads, scale, interpret)[0]
+def _spec(g: int, s: int, w: int):
+    return pl.BlockSpec((g, s, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
-def _attend_fwd(q, k, v, num_heads: int, scale: float, interpret: bool):
-    n, s, d = q.shape
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _attend(qkv, num_heads: int, scale: float, interpret: bool):
+    """o = softmax(q k^T * scale) v per packed head over qkv [N, S, 3D];
+    custom VJP recomputes probs on-chip and emits packed dqkv."""
+    return _attend_fwd(qkv, num_heads, scale, interpret)[0]
+
+
+def _attend_fwd(qkv, num_heads: int, scale: float, interpret: bool):
+    n, s, d3 = qkv.shape
+    d = d3 // 3
     head_dim = d // num_heads
+    g = _group_size(n, s, d)
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
                                head_dim=head_dim, scale=scale)
     o = pl.pallas_call(
         kernel,
-        grid=(n,),
-        in_specs=_row_specs(n, s, d, 3),
-        out_specs=_row_specs(n, s, d, 1)[0],
-        out_shape=jax.ShapeDtypeStruct((n, s, d), q.dtype),
+        grid=(n // g,),
+        in_specs=[_spec(g, s, d3)],
+        out_specs=_spec(g, s, d),
+        out_shape=jax.ShapeDtypeStruct((n, s, d), qkv.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * n * s * s * d,
-            bytes_accessed=4 * n * s * d * q.dtype.itemsize,
+            bytes_accessed=4 * n * s * d * qkv.dtype.itemsize,
             transcendentals=n * num_heads * s * s),
-    )(q, k, v)
-    return o, (q, k, v)
+    )(qkv)
+    return o, (qkv,)
 
 
 def _attend_bwd(num_heads: int, scale: float, interpret: bool, res, do):
-    q, k, v = res
-    n, s, d = q.shape
+    (qkv,) = res
+    n, s, d3 = qkv.shape
+    d = d3 // 3
     head_dim = d // num_heads
+    g = _group_size(n, s, d)
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
                                head_dim=head_dim, scale=scale)
-    dq, dk, dv = pl.pallas_call(
+    dqkv = pl.pallas_call(
         kernel,
-        grid=(n,),
-        in_specs=_row_specs(n, s, d, 4),
-        out_specs=tuple(_row_specs(n, s, d, 3)),
-        out_shape=tuple(jax.ShapeDtypeStruct((n, s, d), q.dtype)
-                        for _ in range(3)),
+        grid=(n // g,),
+        in_specs=[_spec(g, s, d3), _spec(g, s, d)],
+        out_specs=_spec(g, s, d3),
+        out_shape=jax.ShapeDtypeStruct((n, s, d3), qkv.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=11 * n * s * s * d,
-            bytes_accessed=7 * n * s * d * q.dtype.itemsize,
+            bytes_accessed=7 * n * s * d * qkv.dtype.itemsize,
             transcendentals=n * num_heads * s * s),
-    )(q, k, v, do)
-    return dq, dk, dv
+    )(qkv, do)
+    return (dqkv,)
 
 
 _attend.defvjp(_attend_fwd, _attend_bwd)
-
-
-import os
 
 
 def _use_interpret() -> bool:
@@ -153,6 +188,32 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def attend_qkv(qkv: jax.Array, num_heads: int) -> jax.Array:
+    """Multi-head softmax attention over the PACKED projection output
+    qkv [N, S, 3D] (q | k | v, heads packed inside each D block). TPU: the
+    Pallas kernel, zero relayout copies. CPU/other: the same math through
+    XLA (slicing/reshape is free there)."""
+    n, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    interpret = _use_interpret()
+    if _on_tpu() or interpret:
+        return _attend(qkv, num_heads, dh ** -0.5, interpret)
+    import flax.linen as nn
+
+    split = lambda x: x.reshape(n, s, num_heads, dh)
+    q, k, v = (qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:])
+    o = nn.dot_product_attention(split(q), split(k), split(v))
+    return o.reshape(n, s, d)
+
+
+def attend(q: jax.Array, k: jax.Array, v: jax.Array,
+           num_heads: int) -> jax.Array:
+    """Convenience wrapper over separate q/k/v [N, S, D] arrays (packs them;
+    prefer attend_qkv from a fused projection to avoid the concatenate)."""
+    return attend_qkv(jnp.concatenate([q, k, v], axis=-1), num_heads)
+
+
 def fused_attention_fn(query: jax.Array, key: jax.Array, value: jax.Array,
                        bias=None, mask=None, **kwargs) -> jax.Array:
     """Drop-in ``attention_fn`` for ``nn.MultiHeadDotProductAttention``.
@@ -160,7 +221,9 @@ def fused_attention_fn(query: jax.Array, key: jax.Array, value: jax.Array,
     query/key/value: [N, S, H, Dh] (flax layout after the QKV DenseGeneral).
     Supports self-attention without bias/mask/dropout (NesT blocks, ViT);
     falls back to flax's reference implementation when a mask/bias is given
-    (BERT padding masks) or when running on CPU without interpret support.
+    (BERT padding masks) or on CPU without the interpret opt-in. NOTE: the
+    [N, S, H, Dh] layout costs relayout copies on TPU — FusedSelfAttention
+    (models/vit.py) with attend_qkv is the fast path.
     """
     import flax.linen as nn
 
@@ -174,9 +237,6 @@ def fused_attention_fn(query: jax.Array, key: jax.Array, value: jax.Array,
         return nn.dot_product_attention(query, key, value, bias=bias,
                                         mask=mask, **kwargs)
     n, s, h, dh = query.shape
-    scale = dh ** -0.5
-    q = query.reshape(n, s, h * dh)
-    k = key.reshape(n, s, h * dh)
-    v = value.reshape(n, s, h * dh)
-    o = _attend(q, k, v, h, scale, interpret)
+    o = attend(query.reshape(n, s, h * dh), key.reshape(n, s, h * dh),
+               value.reshape(n, s, h * dh), h)
     return o.reshape(n, s, h, dh)
