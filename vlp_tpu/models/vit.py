@@ -10,19 +10,52 @@ fp32 params); sequence length 197 pads fine onto MXU tiles.
 """
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class _DenseParams(nn.Module):
+    """Materializes a Dense layer's params under the SAME tree path as
+    nn.Dense (kernel [in, out], bias [out]) without running the matmul —
+    lets the fused Pallas MLP share checkpoints with the unfused path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
 
 
 class MlpBlock(nn.Module):
     hidden_dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    # Pallas fused fc1->GELU->fc2 (ops/fused_mlp.py): hidden stays in VMEM,
+    # backward recomputes it. Param tree is identical to the unfused path.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from vlp_tpu.ops import fused_mlp as FM
+
         d = x.shape[-1]
+        lead = x.shape[:-1]
+        m = math.prod(lead)
+        if self.fused and FM.supports(m, d, self.hidden_dim) and (
+                jax.default_backend() == "tpu" or FM._use_interpret()):
+            w1, b1 = _DenseParams(d, self.hidden_dim, name="fc1")()
+            w2, b2 = _DenseParams(self.hidden_dim, d, name="fc2")()
+            out = FM.fused_mlp(x.reshape(m, d).astype(self.dtype),
+                               w1, b1, w2, b2)
+            return out.reshape(*lead, d)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
@@ -83,6 +116,7 @@ class EncoderBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x.astype(jnp.float32))
         y = MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype,
+                     fused=self.fused_attention,  # one flag per block
                      name="mlp")(y.astype(self.dtype))
         return x + y
 
