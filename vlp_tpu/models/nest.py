@@ -69,7 +69,7 @@ class NesT(nn.Module):
     num_classes: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None  # unused; API parity with ResNet
-    fused_attention: bool = False  # Pallas fused attention (block_attention.py)
+    fused_attention: bool = True  # Pallas fused attention (block_attention.py)
 
     def setup(self):
         self.patch_embed = nn.Conv(

@@ -98,8 +98,9 @@ class EncoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     # Pallas fused block-attention (ops/block_attention.py): probs stay in
     # VMEM, backward recomputes them on-chip; single fused QKV matmul.
-    # Changes the attn param structure (see FusedSelfAttention).
-    fused_attention: bool = False
+    # Changes the attn param structure (see FusedSelfAttention). Default ON:
+    # measured +21% nest_small and +22% vit_base train throughput on v5e.
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -131,7 +132,7 @@ class ViT(nn.Module):
     img_size: int = 224  # pos-embed grid; reference models are 224-locked
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None  # unused (no BN); kept for API parity
-    fused_attention: bool = False  # Pallas fused attention (block_attention.py)
+    fused_attention: bool = True  # Pallas fused attention (block_attention.py)
 
     def setup(self):
         self.patch_embed = nn.Conv(
