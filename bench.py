@@ -81,15 +81,15 @@ def main() -> None:
     multi_step = make_scanned_train_step(task, tx, steps, mesh=None)
 
     # warmup (compile) + correctness guard
-    state, losses = multi_step(state, batches)
-    final = float(jax.device_get(losses[-1]))
+    state, aux = multi_step(state, batches)
+    final = float(jax.device_get(aux["loss"][-1]))
     assert final == final, "NaN loss"
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state, losses = multi_step(state, batches)
-        float(jax.device_get(losses[-1]))  # forced execution
+        state, aux = multi_step(state, batches)
+        float(jax.device_get(aux["loss"][-1]))  # forced execution
         times.append(time.perf_counter() - t0)
     dt = min(times)
     images_per_sec = batch_size * steps / dt

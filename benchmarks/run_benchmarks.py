@@ -82,13 +82,13 @@ def main() -> None:
             {k: v for k, v in variables.items() if k != "params"},
             tx, jax.random.key(1))
         step = make_scanned_train_step(task, tx, K, mesh=None)
-        state, losses = step(state, bb)
-        float(jax.device_get(losses[-1]))
+        state, aux = step(state, bb)
+        float(jax.device_get(aux["loss"][-1]))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            state, losses = step(state, bb)
-            float(jax.device_get(losses[-1]))
+            state, aux = step(state, bb)
+            float(jax.device_get(aux["loss"][-1]))
             ts.append(time.perf_counter() - t0)
         ips = B * K / min(ts)
         results[name] = {"images_per_sec": round(ips, 1),
@@ -107,17 +107,19 @@ def main() -> None:
     # (supersedes the hand-recorded backbone_train_images_per_sec entries);
     # nest is recorded with and without the Pallas fused block-attention
     if os.environ.get("BENCH_BACKBONES", "1") == "1":
+        # default = Pallas fused block kernels (the shipped path); _unfused
+        # pins the plain-XLA variant for the before/after record
         measure_train("backbone_nest_small",
                       {"task": "only_imaging", "model": "nest_small"})
-        measure_train("backbone_nest_small_fused",
+        measure_train("backbone_nest_small_unfused",
                       {"task": "only_imaging", "model": "nest_small",
-                       "fused_attention": True})
+                       "fused_attention": False})
         measure_train("backbone_vit_base",
                       {"task": "only_imaging",
                        "model": "vit_base_patch16_224"})
-        measure_train("backbone_vit_base_fused",
+        measure_train("backbone_vit_base_unfused",
                       {"task": "only_imaging", "model": "vit_base_patch16_224",
-                       "fused_attention": True})
+                       "fused_attention": False})
         measure_train("backbone_resnet50",
                       {"task": "only_imaging", "model": "resnet50"})
 
