@@ -13,11 +13,13 @@ masked — XLA static shapes) and shardable along axis 0 of every array.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vlp_tpu.data.preprocess_host import ImageCache
@@ -60,11 +62,12 @@ class ArrayBundle:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def assemble(self, indices: List[int], batch_size: int) -> Dict[str, np.ndarray]:
+    def assemble_meta(self, indices: List[int], batch_size: int):
+        """Everything except pixels, plus the cache rows to fetch — the
+        device-resident path sends only this over the host->device link."""
         idx, mask = pad_batch_indices(list(indices), batch_size)
         idx = np.asarray(idx, np.int64)
         batch = {
-            "image_u8": self.cache.gather(self.cache_indices[idx]),
             "label": self.labels[idx],
             "dataset_id": self.dataset_ids[idx],
             "mask": mask,
@@ -75,7 +78,36 @@ class ArrayBundle:
             batch["caption_id"] = self.caption_ids[idx]
         else:
             batch["clinical"] = self.clinical[idx]
+        return batch, self.cache_indices[idx].astype(np.int32)
+
+    def assemble(self, indices: List[int], batch_size: int) -> Dict[str, np.ndarray]:
+        batch, cidx = self.assemble_meta(indices, batch_size)
+        batch["image_u8"] = self.cache.gather(cidx)
         return batch
+
+
+_RESIDENT_LIMIT_MB = "VLP_DEVICE_RESIDENT_MB"  # 0 disables
+
+
+def _resident_images(cache: ImageCache):
+    """Upload the whole uint8 image cache to device HBM ONCE per process
+    (shared across loaders) when it fits the budget. Batches then gather on
+    device and only indices/metadata cross the host->device link — on
+    remote-PJRT tunnels the per-batch pixel transfer is otherwise the
+    training bottleneck (measured ~10x), and even on local hosts it frees
+    PCIe. MURA+LERA at 224px is ~2 GB; the downstream set ~350 MB."""
+    limit_mb = float(os.environ.get(_RESIDENT_LIMIT_MB, "4096"))
+    if cache.data.nbytes > limit_mb * 1e6:
+        return None
+    dev = getattr(cache, "_device_u8", None)
+    if dev is None:
+        dev = jax.device_put(np.asarray(cache.data))
+        cache._device_u8 = dev
+    return dev
+
+
+_gather_images = jax.jit(
+    lambda imgs, idx: jnp.take(imgs, idx, axis=0, mode="clip"))
 
 
 class DeviceLoader:
@@ -90,6 +122,10 @@ class DeviceLoader:
         self.mesh = mesh
         self.axis_name = axis_name
         self.prefetch_depth = max(1, prefetch_depth)
+        # device-resident image corpus (single-device only: under a data
+        # mesh each host feeds its shard with the per-batch path)
+        self._images_dev = _resident_images(bundle.cache) \
+            if mesh is None or mesh.size == 1 else None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -112,6 +148,16 @@ class DeviceLoader:
                     for k, v in host_batch.items()}
         return {k: jax.device_put(v) for k, v in host_batch.items()}
 
+    def _make_batch(self, indices) -> Dict:
+        """One device batch: resident path gathers pixels on device."""
+        if self._images_dev is None:
+            return self._put(self.bundle.assemble(indices, self.batch_size))
+        meta, cidx = self.bundle.assemble_meta(indices, self.batch_size)
+        out = {k: jax.device_put(v) for k, v in meta.items()}
+        out["image_u8"] = _gather_images(self._images_dev,
+                                         jax.device_put(cidx))
+        return out
+
     def __iter__(self) -> Iterator[Dict]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         sentinel = object()
@@ -120,8 +166,7 @@ class DeviceLoader:
         def producer():
             try:
                 for indices in self.sampler:
-                    q.put(self._put(
-                        self.bundle.assemble(indices, self.batch_size)))
+                    q.put(self._make_batch(indices))
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
@@ -149,6 +194,20 @@ class DeviceLoader:
             return {k: jax.device_put(v, sh) for k, v in stacked.items()}
         return {k: jax.device_put(v) for k, v in stacked.items()}
 
+    def _make_chunk(self, index_groups: List) -> Dict:
+        """[K, B, ...] chunk; resident path gathers [K, B] rows on device."""
+        if self._images_dev is None:
+            return self._put_chunk([
+                self.bundle.assemble(ix, self.batch_size)
+                for ix in index_groups])
+        metas, cidxs = zip(*[self.bundle.assemble_meta(ix, self.batch_size)
+                             for ix in index_groups])
+        stacked = {k: np.stack([m[k] for m in metas]) for k in metas[0]}
+        out = {k: jax.device_put(v) for k, v in stacked.items()}
+        out["image_u8"] = _gather_images(self._images_dev,
+                                         jax.device_put(np.stack(cidxs)))
+        return out
+
     def iter_scan_chunks(self, k: int) -> Iterator:
         """Yield ('chunk', [K,B,...] pytree) for every full group of k
         batches and ('single', [B,...] batch) for the ragged tail — the
@@ -160,14 +219,14 @@ class DeviceLoader:
 
         def producer():
             try:
-                group: List[Dict[str, np.ndarray]] = []
+                group: List = []
                 for indices in self.sampler:
-                    group.append(self.bundle.assemble(indices, self.batch_size))
+                    group.append(indices)
                     if len(group) == k:
-                        q.put(("chunk", self._put_chunk(group)))
+                        q.put(("chunk", self._make_chunk(group)))
                         group = []
-                for b in group:  # ragged tail -> per-step batches
-                    q.put(("single", self._put(b)))
+                for indices in group:  # ragged tail -> per-step batches
+                    q.put(("single", self._make_batch(indices)))
             except BaseException as e:
                 err.append(e)
             finally:
