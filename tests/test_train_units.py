@@ -123,6 +123,41 @@ class TestPipeline:
         total = sum(int(x["mask"].sum()) for x in batches)
         assert total == 10
 
+    def test_resident_gather_matches_host_path(self, monkeypatch):
+        """Device-resident corpus (HBM gather) must produce byte-identical
+        batches to the host assemble path, including padded tails."""
+        b = self._bundle(10)
+        host = DeviceLoader(b, ShuffleBatchSampler(10, 4, seed=3), 4)
+        monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "0")  # force host path
+        host._images_dev = None
+        hb = list(host)
+        monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "4096")
+        res = DeviceLoader(b, ShuffleBatchSampler(10, 4, seed=3), 4)
+        assert res._images_dev is not None, "resident mode did not engage"
+        rb = list(res)
+        assert len(hb) == len(rb)
+        for x, y in zip(hb, rb):
+            assert set(x) == set(y)
+            for k in x:
+                np.testing.assert_array_equal(np.asarray(x[k]),
+                                              np.asarray(y[k]), err_msg=k)
+
+    def test_resident_scan_chunks_match(self, monkeypatch):
+        monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "4096")
+        b = self._bundle(10)
+        res = DeviceLoader(b, ShuffleBatchSampler(10, 4, seed=5), 4)
+        assert res._images_dev is not None
+        kinds = []
+        total = 0
+        for kind, payload in res.iter_scan_chunks(2):
+            kinds.append(kind)
+            m = np.asarray(payload["mask"])
+            total += int(m.sum())
+            if kind == "chunk":
+                assert np.asarray(payload["image_u8"]).shape == (2, 4, 8, 8)
+        assert kinds == ["chunk", "single"]  # 3 batches -> 1 chunk + tail
+        assert total == 10
+
     def test_pretrain_bundle_tokens(self):
         imgs = np.zeros((4, 8, 8), np.uint8)
         cache = ImageCache.from_arrays(imgs)
