@@ -148,6 +148,23 @@ class TestInfoNCE:
         assert np.isfinite(float(losses.masked_infonce(logits, ids)))
         assert np.isfinite(float(losses.non_square_infonce(logits, ids)))
 
+    def test_deprecated_variants_ignore_padded_tail(self):
+        """A padded ragged batch (tail rows repeat earlier samples, mask 0)
+        must yield the SAME loss as the unpadded valid batch — the pipeline
+        pads to static shapes, the reference's torch batches never did."""
+        rng = np.random.default_rng(1)
+        full = jnp.array(rng.normal(size=(6, 6)).astype(np.float32))
+        ids = jnp.array([0, 1, 2, 3, 0, 1])  # tail repeats samples 0/1
+        mask = jnp.array([1, 1, 1, 1, 0, 0], jnp.float32)
+        sub = full[:4, :4]
+        sub_ids = ids[:4]
+        np.testing.assert_allclose(
+            float(losses.masked_infonce(full, ids, mask)),
+            float(losses.masked_infonce(sub, sub_ids)), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(losses.non_square_infonce(full, ids, mask)),
+            float(losses.non_square_infonce(sub, sub_ids)), rtol=1e-5)
+
 
 class TestStreamingMetrics:
     def test_matches_sklearn(self):

@@ -36,6 +36,10 @@ class ArrayBundle:
                  token_ids: Optional[np.ndarray] = None,
                  token_mask: Optional[np.ndarray] = None) -> None:
         self.samples = list(samples)
+        if not self.samples:
+            raise ValueError(
+                "empty sample list — the split has no samples (check the "
+                "frozen-split files / subsampling options)")
         self.cache = cache
         n = len(self.samples)
         self.cache_indices = np.asarray(
@@ -55,9 +59,13 @@ class ArrayBundle:
             self.labels = np.array([s["tumor"] for s in self.samples], np.int32)
             self.clinical = np.stack(
                 [np.asarray(s["clinical"], np.float32) for s in self.samples])
+        unknown = {str(s["dataset"]) for s in self.samples} - set(DATASET_IDS)
+        if unknown:
+            raise ValueError(
+                f"unknown dataset name(s) {sorted(unknown)}; CORAL domain "
+                f"ids are derived from {sorted(DATASET_IDS)}")
         self.dataset_ids = np.array(
-            [DATASET_IDS.get(str(s["dataset"]), 0) for s in self.samples],
-            np.int32)
+            [DATASET_IDS[str(s["dataset"])] for s in self.samples], np.int32)
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -158,29 +166,55 @@ class DeviceLoader:
                                          jax.device_put(cidx))
         return out
 
-    def __iter__(self) -> Iterator[Dict]:
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+    @staticmethod
+    def _drain(q, stop, make_items):
+        """Producer body: bounded puts that give up when the consumer is
+        gone (generator dropped mid-epoch), so no thread is ever left
+        blocked on q.put holding device buffers."""
         sentinel = object()
-        err: List[BaseException] = []
 
-        def producer():
+        def producer(err):
             try:
-                for indices in self.sampler:
-                    q.put(self._make_batch(indices))
+                for item in make_items():
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                try:
+                    q.put(sentinel, timeout=1.0)
+                except queue.Full:
+                    pass
 
-        t = threading.Thread(target=producer, daemon=True)
+        err: List[BaseException] = []
+        t = threading.Thread(target=producer, args=(err,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def __iter__(self) -> Iterator[Dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def items():
+            for indices in self.sampler:
+                yield self._make_batch(indices)
+
+        return self._drain(q, stop, items)
 
     def _put_chunk(self, host_batches: List[Dict[str, np.ndarray]]):
         """Stack k host batches to [K, B, ...] and transfer once, sharded
@@ -212,32 +246,20 @@ class DeviceLoader:
         """Yield ('chunk', [K,B,...] pytree) for every full group of k
         batches and ('single', [B,...] batch) for the ragged tail — the
         scanned train step is compiled once for length k, tail batches reuse
-        the per-step program. Prefetched like __iter__."""
-        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch_depth))
-        sentinel = object()
-        err: List[BaseException] = []
+        the per-step program. Prefetched like __iter__, but the queue holds
+        ONE chunk (a chunk is k whole batches of device memory; one queued +
+        one in flight is already double buffering)."""
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+        stop = threading.Event()
 
-        def producer():
-            try:
-                group: List = []
-                for indices in self.sampler:
-                    group.append(indices)
-                    if len(group) == k:
-                        q.put(("chunk", self._make_chunk(group)))
-                        group = []
-                for indices in group:  # ragged tail -> per-step batches
-                    q.put(("single", self._make_batch(indices)))
-            except BaseException as e:
-                err.append(e)
-            finally:
-                q.put(sentinel)
+        def items():
+            group: List = []
+            for indices in self.sampler:
+                group.append(indices)
+                if len(group) == k:
+                    yield ("chunk", self._make_chunk(group))
+                    group = []
+            for indices in group:  # ragged tail -> per-step batches
+                yield ("single", self._make_batch(indices))
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        return self._drain(q, stop, items)

@@ -290,9 +290,10 @@ class VisionLanguageTask(BaseTask):
                                     self.scale_max)
         mask = batch.get("mask", jnp.ones(logits.shape[0]))
         if self.loss_variant == "masked":
-            loss = losses.masked_infonce(logits, batch["caption_id"])
+            loss = losses.masked_infonce(logits, batch["caption_id"], mask)
         elif self.loss_variant == "non_square":
-            loss = losses.non_square_infonce(logits, batch["caption_id"])
+            loss = losses.non_square_infonce(logits, batch["caption_id"],
+                                             mask)
         else:
             loss = losses.symmetric_infonce(logits, mask)
         aux = {"loss": loss, "logit_scale": logit_scale,

@@ -39,8 +39,10 @@ class MlpBlock(nn.Module):
     hidden_dim: int
     dtype: jnp.dtype = jnp.bfloat16
     # Pallas fused fc1->GELU->fc2 (ops/fused_mlp.py): hidden stays in VMEM,
-    # backward recomputes it. Param tree is identical to the unfused path.
-    fused: bool = False
+    # backward recomputes it. Param tree is identical to the unfused path,
+    # so this is independent of the attention choice and on by default
+    # (falls back per shape via supports()).
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -116,8 +118,9 @@ class EncoderBlock(nn.Module):
                 param_dtype=jnp.float32, name="attn")(y)
         x = x + y
         y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x.astype(jnp.float32))
+        # fused MLP is checkpoint-compatible with the unfused path and so
+        # stays on regardless of the attention choice
         y = MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype,
-                     fused=self.fused_attention,  # one flag per block
                      name="mlp")(y.astype(self.dtype))
         return x + y
 

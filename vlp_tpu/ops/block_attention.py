@@ -233,7 +233,8 @@ def fused_attention_fn(query: jax.Array, key: jax.Array, value: jax.Array,
     if bias is not None or mask is not None or dropping_out or \
             query.shape[1] != key.shape[1] or \
             not (_on_tpu() or interpret):
-        kwargs.pop("force_fp32_for_softmax", None)
+        # this flax version accepts force_fp32_for_softmax — forward ALL
+        # kwargs so a module-level fp32-softmax request survives fallback
         return nn.dot_product_attention(query, key, value, bias=bias,
                                         mask=mask, **kwargs)
     n, s, h, dh = query.shape

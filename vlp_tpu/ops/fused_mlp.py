@@ -124,6 +124,10 @@ def _mlp_fwd(x, w1, b1, w2, b2, interpret: bool):
     m, d = x.shape
     f = w1.shape[1]
     tm = _tile(m, d, f)
+    if tm == 0:
+        raise ValueError(
+            f"fused_mlp unsupported for M={m}, D={d}, F={f} (no dividing "
+            "row tile fits the VMEM budget) — guard calls with supports()")
     o = pl.pallas_call(
         _fwd_kernel,
         grid=(m // tm,),

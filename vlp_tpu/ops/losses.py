@@ -134,22 +134,28 @@ def duplicate_caption_mask(caption_ids: jax.Array) -> jax.Array:
     return jnp.where(same & ~eye, 0.0, 1.0)
 
 
-def masked_infonce(logits: jax.Array, caption_ids: jax.Array) -> jax.Array:
+def masked_infonce(logits: jax.Array, caption_ids: jax.Array,
+                   mask: Optional[jax.Array] = None) -> jax.Array:
     """Deprecated duplicate-tolerant variant, exact reference semantics
     (VisionLanguageModule.py:546-553): duplicate-caption off-diagonal logits
     are MULTIPLIED BY ZERO — they stay in the softmax as zero-valued logits
     rather than being excluded (-inf would be the cleaner masking, but the
-    ablation numbers were produced with logits*mask)."""
+    ablation numbers were produced with logits*mask).
+
+    ``mask`` excludes padded tail rows/columns entirely (the reference's
+    ragged torch batches had no padding, so valid-only IS the parity
+    behavior)."""
     m = duplicate_caption_mask(caption_ids)
     masked = logits * m
     n = logits.shape[0]
     labels = jnp.arange(n)
-    li = _masked_softmax_xent(masked, labels, None)
-    lt = _masked_softmax_xent(masked.T, labels, None)
+    li = _masked_softmax_xent(masked, labels, mask)
+    lt = _masked_softmax_xent(masked.T, labels, mask)
     return (li + lt) / 2.0
 
 
-def non_square_infonce(logits: jax.Array, caption_ids: jax.Array) -> jax.Array:
+def non_square_infonce(logits: jax.Array, caption_ids: jax.Array,
+                       mask: Optional[jax.Array] = None) -> jax.Array:
     """Deprecated dedup-columns BCE variant, exact reference semantics
     (_compute_non_square_loss :464-504): keep only the FIRST column of each
     duplicate caption group, target[i,u]=1 iff image i's caption == u,
@@ -165,8 +171,14 @@ def non_square_infonce(logits: jax.Array, caption_ids: jax.Array) -> jax.Array:
     same = cid.reshape(1, -1) == cid.reshape(-1, 1)  # [j, k] same caption
     # first occurrence of each caption: argmax returns the first True
     is_first = (jnp.argmax(same, axis=1) == jnp.arange(n)).astype(jnp.float32)
+    row_w = jnp.ones(n) if mask is None else mask.reshape(-1)
+    # padded tail rows repeat EARLIER real rows, so their columns are never
+    # first occurrences; rows still need explicit exclusion
+    is_first = is_first * row_w
     target = same.astype(jnp.float32)
     per = jnp.maximum(logits, 0) - logits * target + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))
     u = jnp.maximum(is_first.sum(), 1.0)
-    return (per * is_first.reshape(1, -1)).sum() / (n * u)
+    rows = jnp.maximum(row_w.sum(), 1.0)
+    return (per * is_first.reshape(1, -1)
+            * row_w.reshape(-1, 1)).sum() / (rows * u)
