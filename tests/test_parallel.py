@@ -116,6 +116,25 @@ class TestShardedTrainStep:
         worst = max(float(jnp.abs(a - b).max()) for a, b in zip(p1, p8))
         assert worst < 1e-4, f"param divergence {worst}"
 
+        # --- FSDP (ZeRO) state sharding: identical math, sharded memory ---
+        from vlp_tpu.parallel.mesh import shard_train_state
+
+        state_f, shardings = shard_train_state(fresh_state(), mesh, "fsdp")
+        # at least one large leaf must actually be sharded over 'data'
+        specs = [s.spec for s in jax.tree.leaves(
+            jax.tree.map(lambda x: x.sharding, state_f.params))]
+        assert any("data" in str(sp) for sp in specs), specs
+        step_f = make_train_step(task, tx, mesh=mesh,
+                                 state_shardings=shardings)
+        sf, auxf = step_f(state_f, shard_batch(batch, mesh))
+        assert abs(float(aux1["loss"]) - float(auxf["loss"])) < 1e-4
+        pf = jax.tree.leaves(sf.params)
+        worst = max(float(jnp.abs(a - b).max()) for a, b in zip(p1, pf))
+        assert worst < 1e-4, f"fsdp param divergence {worst}"
+        # updated params keep their FSDP sharding (no silent re-replication)
+        out_specs = [str(x.sharding.spec) for x in pf]
+        assert any("data" in sp for sp in out_specs), out_specs
+
 
 class TestMetricPsum:
     def test_metric_states_add(self):

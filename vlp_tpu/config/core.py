@@ -150,6 +150,9 @@ class MeshConfig:
     data_parallel: int = -1  # -1 => all visible devices
     axis_name: str = "data"
     infonce_impl: str = "gspmd"  # gspmd | shard_map
+    # replicated (plain DP) | fsdp (ZeRO-style: params + Adam moments
+    # sharded over the data axis; GSPMD all-gather/reduce-scatter)
+    param_sharding: str = "replicated"
 
 
 @dataclass

@@ -51,3 +51,51 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+# -- FSDP (ZeRO-style) parameter/optimizer-state sharding -----------------
+#
+# The second scaling axis that actually fits this workload: compute scales
+# by data parallelism; MEMORY scales by sharding params + Adam moments over
+# the same axis. GSPMD inserts the all-gathers at use sites and
+# reduce-scatters for the sharded updates (the scaling-book recipe) — no
+# manual collectives.
+
+_FSDP_MIN_SIZE = 2 ** 16  # leaves smaller than this stay replicated
+
+
+def _fsdp_spec(shape, mesh_size: int, axis_name: str):
+    if not shape or int(np.prod(shape)) < _FSDP_MIN_SIZE:
+        return P()
+    # shard the largest dim divisible by the mesh (ties -> last such dim:
+    # for conv kernels that's the channel dims, never the tiny k_h/k_w)
+    best, best_size = None, 0
+    for i, s in enumerate(shape):
+        if s % mesh_size == 0 and s >= best_size:
+            best, best_size = i, s
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis_name
+    return P(*spec)
+
+
+def fsdp_state_sharding(state, mesh: Mesh, axis_name: str = "data"):
+    """A TrainState-shaped pytree of NamedShardings: params and optimizer
+    moments sharded per _fsdp_spec, everything small replicated."""
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        return NamedSharding(mesh, _fsdp_spec(shape, mesh.size, axis_name))
+
+    return jax.tree.map(rule, state)
+
+
+def shard_train_state(state, mesh: Mesh, mode: str = "replicated",
+                      axis_name: str = "data"):
+    """Place a TrainState on the mesh. Returns (state, sharding_pytree)."""
+    if mode == "fsdp":
+        shardings = fsdp_state_sharding(state, mesh, axis_name)
+        return jax.tree.map(jax.device_put, state, shardings), shardings
+    repl = replicated(mesh)
+    shardings = jax.tree.map(lambda _: repl, state)
+    return jax.device_put(state, repl), shardings

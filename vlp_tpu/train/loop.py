@@ -76,13 +76,18 @@ class Trainer:
         self.tx = make_optimizer(cfg, variables["params"], steps_per_epoch)
         self.state = TrainState.create(variables["params"], extra, self.tx,
                                        jax.random.key(cfg.seed + 1))
+        self.state_shardings = None
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from vlp_tpu.parallel.mesh import shard_train_state
 
-            repl = NamedSharding(mesh, P())
-            self.state = jax.device_put(self.state, repl)
+            self.state, shardings = shard_train_state(
+                self.state, mesh, cfg.mesh.param_sharding,
+                cfg.mesh.axis_name)
+            if cfg.mesh.param_sharding == "fsdp":
+                self.state_shardings = shardings
         self.train_step = make_train_step(task, self.tx, mesh,
-                                          cfg.mesh.axis_name)
+                                          cfg.mesh.axis_name,
+                                          self.state_shardings)
         # K-step scanned dispatch (one host->device round trip per K steps;
         # VERDICT r1 #4: the Trainer must train the way the benchmark
         # measures). Per-step dispatch remains for VLP runs that cache
@@ -93,7 +98,8 @@ class Trainer:
             and cfg.trainer.cache_train_embeddings)
         self.scan_step = (
             make_scanned_train_step(task, self.tx, self.scan_k, mesh,
-                                    cfg.mesh.axis_name)
+                                    cfg.mesh.axis_name,
+                                    self.state_shardings)
             if self.use_scan else None)
         self.eval_step = make_eval_step(task, mesh, cfg.mesh.axis_name)
         self.checkpointer = (

@@ -15,8 +15,13 @@ from vlp_tpu.train.state import TrainState
 
 
 def make_train_step(task: BaseTask, tx: optax.GradientTransformation,
-                    mesh: Optional[Mesh] = None, axis_name: str = "data"
+                    mesh: Optional[Mesh] = None, axis_name: str = "data",
+                    state_shardings=None,
                     ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
+    """``state_shardings``: TrainState-shaped pytree of NamedShardings
+    (mesh.fsdp_state_sharding) — params/moments sharded over the data axis
+    ZeRO-style; GSPMD all-gathers at use and reduce-scatters the updates.
+    None = fully replicated state (plain DP)."""
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         rng, step_rng = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(task.loss_fn, has_aux=True)
@@ -35,17 +40,19 @@ def make_train_step(task: BaseTask, tx: optax.GradientTransformation,
         return jax.jit(train_step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, data),
-        out_shardings=(repl, None),
+        in_shardings=(state_sh, data),
+        out_shardings=(state_sh, None),
         donate_argnums=(0,),
     )
 
 
 def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
                             num_steps: int, mesh: Optional[Mesh] = None,
-                            axis_name: str = "data") -> Callable:
+                            axis_name: str = "data",
+                            state_shardings=None) -> Callable:
     """K training steps inside ONE jitted call via ``lax.scan`` over batches
     stacked on a leading axis (pytree of [K, ...] arrays).
 
@@ -78,8 +85,9 @@ def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
         return jax.jit(multi_step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, axis_name))  # [K, B, ...] shard B
-    return jax.jit(multi_step, in_shardings=(repl, data),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+    state_sh = state_shardings if state_shardings is not None else repl
+    return jax.jit(multi_step, in_shardings=(state_sh, data),
+                   out_shardings=(state_sh, repl), donate_argnums=(0,))
 
 
 def make_eval_step(task: BaseTask, mesh: Optional[Mesh] = None,
