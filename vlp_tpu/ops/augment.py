@@ -155,8 +155,17 @@ def augment_and_normalize(
         x = jnp.where(flip[:, None, None], x[:, ::-1, :], x)
         # σ in raw intensity units, matching MONAI RandGaussianNoised which
         # adds N(0, σ≤0.01) to the unnormalized 0..255 image.
-        noise = jax.random.normal(nkey, x.shape) * noise_std[:, None, None]
-        x = x + noise
+        if jax.default_backend() == "tpu" and x.shape[-1] % 2 == 0:
+            # hardware-PRNG Box-Muller kernel: the threefry normal draw
+            # alone costs ~4.1 ms/batch (~12% of the VLP step); same
+            # distribution, different deterministic stream
+            from vlp_tpu.ops.pallas_noise import add_gaussian_noise
+
+            seeds = jax.random.randint(nkey, (b,), 0, jnp.iinfo(jnp.int32).max)
+            x = add_gaussian_noise(x, seeds, noise_std)
+        else:
+            noise = jax.random.normal(nkey, x.shape) * noise_std[:, None, None]
+            x = x + noise
     if scale_intensity:
         x = x * (2048.0 / 255.0) - 1024.0
     else:
