@@ -130,6 +130,25 @@ def test_xrv_style_one_channel_path(tmp_path):
 
 
 @pytest.mark.slow
+def test_fsdp_sharded_training_e2e(tmp_path):
+    """Driver flow with mesh.param_sharding=fsdp: params + optimizer moments
+    sharded over the data axis; checkpoints, validation and plots must all
+    work on sharded state. scan_steps=1 because the CPU SPMD partitioner
+    compiles scanned FSDP programs very slowly (config NOTE)."""
+    cfg = get_experiment("smoke_synthetic_only_imaging")
+    cfg = apply_overrides(cfg, [
+        "model.model=resnet_micro", "mesh.param_sharding=fsdp",
+        "trainer.scan_steps=1",
+        "data.image_size=32", "data.batch_size=16", "data.eval_batch_size=16",
+        "data.synthetic_num_samples=48", "trainer.max_epochs=2",
+    ])
+    cfg.output_dir = str(tmp_path)
+    agg = train(cfg)
+    assert agg["num_folds"] == 1
+    assert "val/combined/accuracy_best_val/combined/accuracy_mean" in agg
+
+
+@pytest.mark.slow
 def test_training_is_deterministic(tmp_path):
     """Same config + seed twice -> identical loss trajectory (PRNG
     threading, sampler seeding, and the device pipeline are deterministic)."""

@@ -151,7 +151,9 @@ class MeshConfig:
     axis_name: str = "data"
     infonce_impl: str = "gspmd"  # gspmd | shard_map
     # replicated (plain DP) | fsdp (ZeRO-style: params + Adam moments
-    # sharded over the data axis; GSPMD all-gather/reduce-scatter)
+    # sharded over the data axis; GSPMD all-gather/reduce-scatter).
+    # NOTE on CPU-simulated meshes: combine fsdp with trainer.scan_steps=1 —
+    # the CPU SPMD partitioner compiles scanned FSDP programs very slowly.
     param_sharding: str = "replicated"
 
 

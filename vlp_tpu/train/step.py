@@ -97,9 +97,10 @@ def make_eval_step(task: BaseTask, mesh: Optional[Mesh] = None,
 
     if mesh is None:
         return jax.jit(eval_step)
-    repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
-    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=None)
+    # variables inherit their own placement (replicated OR fsdp-sharded —
+    # pinning P() here rejects fsdp state at call time)
+    return jax.jit(eval_step, in_shardings=(None, data), out_shardings=None)
 
 
 def make_apply_fn(fn: Callable, mesh: Optional[Mesh] = None,
@@ -108,6 +109,5 @@ def make_apply_fn(fn: Callable, mesh: Optional[Mesh] = None,
     (feature extraction, embedding passes)."""
     if mesh is None:
         return jax.jit(fn)
-    repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
-    return jax.jit(fn, in_shardings=(repl, data), out_shardings=None)
+    return jax.jit(fn, in_shardings=(None, data), out_shardings=None)
