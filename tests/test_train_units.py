@@ -142,6 +142,34 @@ class TestPipeline:
                 np.testing.assert_array_equal(np.asarray(x[k]),
                                               np.asarray(y[k]), err_msg=k)
 
+    def test_slow_consumer_still_gets_sentinel(self):
+        """Regression: a consumer that processes each item for longer than
+        the producer's put-timeout (e.g. a cold-compile train step) must
+        still terminate — the end-of-epoch sentinel retries instead of
+        being dropped when the queue is momentarily full."""
+        import time
+
+        b = self._bundle(10)
+        loader = DeviceLoader(b, ShuffleBatchSampler(10, 4, seed=1), 4)
+        seen = 0
+        for _ in loader:
+            time.sleep(1.3)  # > the 0.1 s / (old 1.0 s) put timeouts
+            seen += 1
+        assert seen == 3
+
+    def test_abandoned_iteration_does_not_leak_producer(self):
+        import threading
+        import time
+
+        b = self._bundle(10)
+        loader = DeviceLoader(b, ShuffleBatchSampler(10, 4, seed=2), 4)
+        before = threading.active_count()
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon mid-epoch -> stop event fires via finally
+        time.sleep(0.5)
+        assert threading.active_count() <= before + 1  # producer exited
+
     def test_resident_scan_chunks_match(self, monkeypatch):
         monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "4096")
         b = self._bundle(10)

@@ -187,10 +187,14 @@ class DeviceLoader:
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                try:
-                    q.put(sentinel, timeout=1.0)
-                except queue.Full:
-                    pass
+                # the sentinel MUST eventually land while the consumer
+                # lives, or q.get() blocks forever — retry like the items
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         err: List[BaseException] = []
         t = threading.Thread(target=producer, args=(err,), daemon=True)
