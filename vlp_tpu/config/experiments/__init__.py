@@ -343,3 +343,80 @@ def smoke_synthetic_pretrain(cfg: Config) -> Config:
     cfg.trainer.max_epochs = 1
     cfg.trainer.precision = "fp32"
     return cfg
+
+
+# --------------------------------------------------------------------------
+# Remaining reference experiment-file variants (configs/experiment/** has 57
+# files; most are thin permutations of the same knobs). Registered here so
+# every reference experiment name family has a 1:1 runnable counterpart —
+# see STATUS.md for the full mapping table.
+# --------------------------------------------------------------------------
+
+def _subsampled(base, n: int):
+    """Reference *_only_{20,100}_samples variants: subsample the train set,
+    1 epoch, no CV (cheap capacity/overfit checks, SURVEY.md §4.4)."""
+    def f(cfg: Config) -> Config:
+        cfg = base(cfg)
+        cfg.data.try_with_only_n_samples = n
+        cfg.trainer.max_epochs = 1
+        cfg.k_fold_cross_validation = False
+        return cfg
+    return f
+
+
+@register_experiment("baseline_only_imaging_vit_large")
+def baseline_only_imaging_vit_large(cfg: Config) -> Config:
+    """Reference baseline_only_imaging_vit_large_16* family."""
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.model.model = "vit_large_patch16_224"
+    cfg.model.coral_lambda = 0.0
+    return cfg
+
+
+register_experiment("baseline_only_imaging_nest_small_only_20_samples")(
+    _subsampled(baseline_only_imaging_nest_small, 20))
+register_experiment("baseline_only_imaging_nest_small_only_100_samples")(
+    _subsampled(baseline_only_imaging_nest_small, 100))
+register_experiment("baseline_only_imaging_resnet50_only_20_samples")(
+    _subsampled(baseline_only_imaging_resnet50, 20))
+register_experiment("baseline_only_imaging_resnet50_only_100_samples")(
+    _subsampled(baseline_only_imaging_resnet50, 100))
+register_experiment("baseline_only_imaging_vit_base_only_20_samples")(
+    _subsampled(baseline_only_imaging_vit_base, 20))
+register_experiment("baseline_only_imaging_vit_base_only_100_samples")(
+    _subsampled(baseline_only_imaging_vit_base, 100))
+register_experiment("baseline_only_imaging_vit_large_only_20_samples")(
+    _subsampled(baseline_only_imaging_vit_large, 20))
+register_experiment("baseline_only_imaging_vit_large_only_100_samples")(
+    _subsampled(baseline_only_imaging_vit_large, 100))
+register_experiment("baseline_fusion_resnet34_only_20_samples")(
+    _subsampled(baseline_fusion_resnet34, 20))
+register_experiment("pretrain_resnet34_distilbert_only_20_samples")(
+    _subsampled(pretrain_resnet34_distilbert, 20))
+register_experiment("pretrain_resnet34_distilbert_only_100_samples")(
+    _subsampled(pretrain_resnet34_distilbert, 100))
+register_experiment("pretrain_resnet34_tinybert_masked_only_20_samples")(
+    _subsampled(pretrain_resnet34_tinybert_masked, 20))
+
+
+@register_experiment("pretrain_resnet50_distilbert_overfit")
+def pretrain_resnet50_distilbert_overfit(cfg: Config) -> Config:
+    """Reference pretrain/pretrain_resnet50_distilbert_overfit.yaml."""
+    cfg = pretrain_resnet50_distilbert(cfg)
+    cfg.data.try_with_only_n_samples = 64
+    cfg.data.disable_augmentations = True
+    cfg.k_fold_cross_validation = False
+    return cfg
+
+
+@register_experiment("vlp_finetune_only_imaging_resnet34_no_scheduler")
+def vlp_finetune_only_imaging_resnet34_no_scheduler(cfg: Config) -> Config:
+    """Reference finetune_only_imaging_best_smooth_resnet_34_k_fold.yaml:
+    the 'smooth' sweep pick — no LR scheduler, lr 1.216866e-5, batch 32,
+    coral 1000, noise augmentation on."""
+    cfg = vlp_finetune_only_imaging_resnet34(cfg)
+    cfg.scheduler.name = "none"
+    cfg.optimizer.lr = 1.216866591368529e-5
+    cfg.data.batch_size = 32
+    cfg.model.coral_lambda = 1000.0
+    return cfg
