@@ -113,6 +113,53 @@ def test_weights_only_checkpoint_refuses_full_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_fsdp_checkpoint_resume(tmp_path):
+    """Resume must work when the state is FSDP-sharded over the mesh:
+    checkpoints save sharded arrays, restore lands them back SHARDED, and
+    the loss trajectory matches the uninterrupted run."""
+    import jax
+
+    from vlp_tpu.parallel.mesh import create_mesh
+
+    def cfg_f():
+        return apply_overrides(_cfg(tmp_path), [
+            "mesh.param_sharding=fsdp", "trainer.scan_steps=1",
+            "data.batch_size=16", "data.eval_batch_size=16",
+            "data.synthetic_num_samples=48", "trainer.max_epochs=4",
+        ])
+
+    mesh = create_mesh()
+
+    def make(ckpt_dir):
+        cfg = cfg_f()
+        dm = build_datamodule(cfg, mesh=mesh)
+        fold = next(dm.folds())
+        # no axis_name: under GSPMD jnp.mean over the sharded batch IS the
+        # global mean (pmean/axis_name is only for the shard_map path)
+        task = build_task(cfg, fold.statics)
+        return Trainer(cfg, task, fold.train_loader, fold.val_loaders,
+                       mesh=mesh, checkpoint_dir=str(ckpt_dir))
+
+    tr_a = make(tmp_path / "fa")
+    tr_a.fit()
+    full = _losses(tr_a)
+
+    tr_b = make(tmp_path / "fb")
+    tr_b.fit(max_epochs=2)
+    tr_c = make(tmp_path / "fc")
+    tr_c.load_resume_state(str(tmp_path / "fb" / "last"))
+    assert tr_c.start_epoch == 2
+    # restored params remain sharded over 'data'
+    specs = [str(x.sharding.spec) for x in jax.tree.leaves(tr_c.state.params)]
+    assert any("data" in sp for sp in specs), specs
+    tr_c.fit()
+    tail = _losses(tr_c)
+    for (ea, la), (ec, lc) in zip(full[2:], tail):
+        assert ea == ec
+        assert la == pytest.approx(lc, rel=1e-5), (ea, la, lc)
+
+
+@pytest.mark.slow
 def test_scanned_trainer_matches_per_step(tmp_path):
     """The scanned K-step Trainer path must train the same model as per-step
     dispatch: identical RNG split sequence per step, so trajectories agree
