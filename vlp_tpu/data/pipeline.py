@@ -150,6 +150,14 @@ class DeviceLoader:
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def init_batch(self) -> Dict:
+        """A shape-representative batch WITHOUT touching the sampler:
+        model-init code must not advance the shared sampler RNG (the
+        prefetch thread would otherwise race it a timing-dependent number
+        of batches, breaking fixed-seed reproducibility)."""
+        n = min(self.batch_size, len(self.bundle))
+        return self._make_batch(list(range(n)))
+
     def _put(self, host_batch: Dict[str, np.ndarray]):
         if self._sharding is not None:
             return {k: jax.device_put(v, self._sharding)

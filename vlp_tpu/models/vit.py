@@ -51,8 +51,10 @@ class MlpBlock(nn.Module):
         d = x.shape[-1]
         lead = x.shape[:-1]
         m = math.prod(lead)
+        from vlp_tpu.ops.kernel_gate import mosaic_ok
+
         if self.fused and FM.supports(m, d, self.hidden_dim) and (
-                jax.default_backend() == "tpu" or FM._use_interpret()):
+                mosaic_ok() or FM._use_interpret()):
             w1, b1 = _DenseParams(d, self.hidden_dim, name="fc1")()
             w2, b2 = _DenseParams(self.hidden_dim, d, name="fc2")()
             out = FM.fused_mlp(x.reshape(m, d).astype(self.dtype),

@@ -141,12 +141,18 @@ def augment_and_normalize(
     scale_intensity=True selects the torchxrayvision path
     0..255 -> −1024..1024 (reference DownstreamDataModule.py:274).
     """
+    from vlp_tpu.ops.kernel_gate import mosaic_ok
+
     x = images_u8.astype(jnp.float32)
     b = x.shape[0]
     if cfg.enabled:
         pkey, nkey = jax.random.split(rng)
         tx, ty, theta, zoom, shear, flip, noise_std = _sample_params(pkey, cfg, b)
-        if cfg.method == "shear":
+        # the Pallas shear kernel cannot lower under multi-device GSPMD
+        # (kernel_gate); CPU uses the interpreter (partitions fine),
+        # multi-chip TPU falls back to the gather warp
+        shear_ok = jax.default_backend() != "tpu" or mosaic_ok()
+        if cfg.method == "shear" and shear_ok:
             from vlp_tpu.ops.warp import affine_warp_shear
 
             x = affine_warp_shear(x, theta, zoom, tx, ty, shear)
@@ -155,7 +161,7 @@ def augment_and_normalize(
         x = jnp.where(flip[:, None, None], x[:, ::-1, :], x)
         # σ in raw intensity units, matching MONAI RandGaussianNoised which
         # adds N(0, σ≤0.01) to the unnormalized 0..255 image.
-        if jax.default_backend() == "tpu" and x.shape[-1] % 2 == 0:
+        if mosaic_ok() and x.shape[-1] % 2 == 0:
             # hardware-PRNG Box-Muller kernel: the threefry normal draw
             # alone costs ~4.1 ms/batch (~12% of the VLP step); same
             # distribution, different deterministic stream

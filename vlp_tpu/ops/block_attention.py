@@ -185,7 +185,9 @@ def _use_interpret() -> bool:
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    from vlp_tpu.ops.kernel_gate import mosaic_ok
+
+    return mosaic_ok()
 
 
 def attend_qkv(qkv: jax.Array, num_heads: int) -> jax.Array:

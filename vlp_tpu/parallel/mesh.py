@@ -22,7 +22,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def create_mesh(data_parallel: int = -1, axis_name: str = "data",
                 devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    n = len(devices) if data_parallel in (-1, 0) else data_parallel
+    if data_parallel in (-1, 0):  # 0 kept as 'all' for config back-compat
+        n = len(devices)
+    elif data_parallel < 0:
+        raise ValueError(f"invalid data_parallel={data_parallel}")
+    else:
+        n = data_parallel
     if n > len(devices):
         raise ValueError(
             f"requested data_parallel={n} but only {len(devices)} devices")

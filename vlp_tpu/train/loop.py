@@ -68,10 +68,12 @@ class Trainer:
         self.downstream_pak = downstream_pak
 
         steps_per_epoch = max(len(train_loader), 1)
-        # init
-        init_batch = next(iter(train_loader))
+        # init from a sampler-free batch: iterating the loader here would
+        # let the prefetch thread advance the shared sampler RNG a
+        # timing-dependent number of batches, breaking fixed-seed
+        # reproducibility
+        init_batch = train_loader.init_batch()
         variables = task.init_variables(jax.random.key(cfg.seed), init_batch)
-        self.params_example = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
         self.tx = make_optimizer(cfg, variables["params"], steps_per_epoch)
         self.state = TrainState.create(variables["params"], extra, self.tx,
@@ -211,9 +213,9 @@ class Trainer:
                 save_train_state(
                     f"{self.checkpoint_dir}/last", self.state,
                     meta=self._loop_meta(epoch))
+            last_metrics = metrics
             if self.early_stopping and self.early_stopping.should_stop:
                 break
-            last_metrics = metrics
         return last_metrics
 
     # ------------------------------------------------------------------
@@ -343,6 +345,8 @@ class Trainer:
                 label_chunks.append(
                     np.asarray(jax.device_get(batch["label"]))[mask])
                 losses.append(float(jax.device_get(o["loss"])))
+            if not img_chunks:
+                continue  # empty/fully-masked val loader: skip, don't crash
             img = jnp.asarray(np.concatenate(img_chunks))
             txt = jnp.asarray(np.concatenate(txt_chunks))
             labels = jnp.asarray(np.concatenate(label_chunks))

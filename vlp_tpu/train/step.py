@@ -7,6 +7,7 @@ from __future__ import annotations
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -70,10 +71,7 @@ def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
         extra = dict(state.extra_vars)
         extra.update(mutated)
-        import jax.numpy as jnp
-
-        images = jnp.sum(batch["mask"]) if "mask" in batch else \
-            jnp.float32(loss.shape[0] if loss.ndim else 0)
+        images = jnp.sum(batch["mask"])  # pipeline batches always carry mask
         return state.replace(step=state.step + 1, params=params,
                              extra_vars=extra, opt_state=opt_state,
                              rng=rng), {"loss": loss, "images": images}
