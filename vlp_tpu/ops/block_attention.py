@@ -109,6 +109,10 @@ def _group_size(n: int, s: int, d: int) -> int:
     """Samples per grid program: amortizes per-program overhead while
     keeping the backward's double-buffered blocks (qkv + dqkv + do = 7*D
     bf16 per row) inside the ~16 MB VMEM budget."""
+    # Larger groups OOM scoped VMEM on the low-D levels: the blocks pad to
+    # 128-lane tiles (D=96 -> 3D=288 pads to 384) and the unrolled head
+    # loop's scratch stacks on top — g=16 measured 17.1 MB for nest l0
+    # backward. (4, 2) is the measured-safe configuration.
     budget = 6 * 1024 * 1024  # per-buffer-set bytes, x2 for double buffering
     per_sample = 7 * d * s * 2
     for g in (4, 2):
