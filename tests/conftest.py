@@ -41,3 +41,18 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.default_backend() == "cpu", "tests must not touch the shared TPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_mesh():
+    """The kernel mesh is a process-wide global set by create_mesh/step
+    factories; reset it per test so kernel-path dispatch is deterministic
+    regardless of test order."""
+    from vlp_tpu.ops.kernel_gate import set_kernel_mesh
+
+    set_kernel_mesh(None)
+    yield
+    set_kernel_mesh(None)

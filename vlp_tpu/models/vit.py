@@ -51,9 +51,15 @@ class MlpBlock(nn.Module):
         d = x.shape[-1]
         lead = x.shape[:-1]
         m = math.prod(lead)
-        from vlp_tpu.ops.kernel_gate import mosaic_ok
+        from vlp_tpu.ops.kernel_gate import active_kernel_mesh, mosaic_ok
 
-        if self.fused and FM.supports(m, d, self.hidden_dim) and (
+        # under a multi-device mesh the kernel runs per shard_map shard:
+        # supports() must see the LOCAL row count, and rows must divide
+        mesh, _ = active_kernel_mesh()
+        shards = mesh.size if mesh is not None else 1
+        itemsize = jnp.dtype(self.dtype).itemsize
+        if self.fused and m % shards == 0 and \
+                FM.supports(m // shards, d, self.hidden_dim, itemsize) and (
                 mosaic_ok() or FM._use_interpret()):
             w1, b1 = _DenseParams(d, self.hidden_dim, name="fc1")()
             w2, b2 = _DenseParams(self.hidden_dim, d, name="fc2")()

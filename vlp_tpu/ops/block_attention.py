@@ -105,16 +105,16 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int, head_dim: int,
                 dv.astype(dqkv_ref.dtype)
 
 
-def _group_size(n: int, s: int, d: int) -> int:
+def _group_size(n: int, s: int, d: int, itemsize: int = 2) -> int:
     """Samples per grid program: amortizes per-program overhead while
     keeping the backward's double-buffered blocks (qkv + dqkv + do = 7*D
-    bf16 per row) inside the ~16 MB VMEM budget."""
+    per row at the operand itemsize) inside the ~16 MB VMEM budget."""
     # Larger groups OOM scoped VMEM on the low-D levels: the blocks pad to
     # 128-lane tiles (D=96 -> 3D=288 pads to 384) and the unrolled head
     # loop's scratch stacks on top — g=16 measured 17.1 MB for nest l0
-    # backward. (4, 2) is the measured-safe configuration.
+    # backward. (4, 2) is the measured-safe configuration for bf16.
     budget = 6 * 1024 * 1024  # per-buffer-set bytes, x2 for double buffering
-    per_sample = 7 * d * s * 2
+    per_sample = 7 * d * s * itemsize
     for g in (4, 2):
         if n % g == 0 and g * per_sample <= budget:
             return g
@@ -137,7 +137,7 @@ def _attend_fwd(qkv, num_heads: int, scale: float, interpret: bool):
     n, s, d3 = qkv.shape
     d = d3 // 3
     head_dim = d // num_heads
-    g = _group_size(n, s, d)
+    g = _group_size(n, s, d, qkv.dtype.itemsize)
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
                                head_dim=head_dim, scale=scale)
     o = pl.pallas_call(
@@ -160,7 +160,7 @@ def _attend_bwd(num_heads: int, scale: float, interpret: bool, res, do):
     n, s, d3 = qkv.shape
     d = d3 // 3
     head_dim = d // num_heads
-    g = _group_size(n, s, d)
+    g = _group_size(n, s, d, qkv.dtype.itemsize)
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
                                head_dim=head_dim, scale=scale)
     dqkv = pl.pallas_call(
@@ -197,14 +197,22 @@ def _on_tpu() -> bool:
 def attend_qkv(qkv: jax.Array, num_heads: int) -> jax.Array:
     """Multi-head softmax attention over the PACKED projection output
     qkv [N, S, 3D] (q | k | v, heads packed inside each D block). TPU: the
-    Pallas kernel, zero relayout copies. CPU/other: the same math through
-    XLA (slicing/reshape is free there)."""
+    Pallas kernel, zero relayout copies; under a multi-device mesh the call
+    is shard_map-wrapped over the batch dim (kernel_gate.shard_wrap) so the
+    kernel runs per shard. CPU/other: the same math through XLA
+    (slicing/reshape is free there)."""
+    from vlp_tpu.ops.kernel_gate import shard_wrap
+
     n, s, d3 = qkv.shape
     d = d3 // 3
     dh = d // num_heads
     interpret = _use_interpret()
     if _on_tpu() or interpret:
-        return _attend(qkv, num_heads, dh ** -0.5, interpret)
+        call = shard_wrap(
+            lambda t: _attend(t, num_heads, dh ** -0.5, interpret),
+            n, in_batched=(True,), out_batched=True)
+        if call is not None:
+            return call(qkv)
     import flax.linen as nn
 
     split = lambda x: x.reshape(n, s, num_heads, dh)

@@ -96,16 +96,18 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
     db2_ref[...] += jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
 
 
-def _tile(m: int, d: int, f: int) -> int:
+def _tile(m: int, d: int, f: int, itemsize: int = 2) -> int:
     """Largest row tile that divides m such that the backward fits VMEM:
-    resident bf16 weights (2*d*f*2) + fp32 weight-grad accumulators
-    (2*d*f*4) + fp32 z / bf16 h tiles (tm*f*6) + double-buffered row tiles
-    (3*tm*d*4). Rules out ViT-B's 768x3072 MLP (weights+grads alone ~28 MB);
-    nest_small's 384x1536 fits comfortably."""
+    resident weights (2*d*f*itemsize) + fp32 weight-grad accumulators
+    (2*d*f*4) + fp32 z / compute-dtype h tiles (tm*f*(4+itemsize)) +
+    double-buffered row tiles (3*tm*d*2*itemsize). Rules out ViT-B's
+    768x3072 MLP (weights+grads alone ~28 MB); nest_small's 384x1536 fits
+    comfortably in bf16."""
     budget = 13 * 1024 * 1024
-    resident = 2 * d * f * 2 + 2 * d * f * 4
+    resident = 2 * d * f * itemsize + 2 * d * f * 4
     for tm in (512, 256, 128, 64):
-        if m % tm == 0 and resident + tm * f * 6 + 3 * tm * d * 4 <= budget:
+        if m % tm == 0 and resident + tm * f * (4 + itemsize) \
+                + 3 * tm * d * 2 * itemsize <= budget:
             return tm
     return 0
 
@@ -123,7 +125,7 @@ def _mlp(x, w1, b1, w2, b2, interpret: bool):
 def _mlp_fwd(x, w1, b1, w2, b2, interpret: bool):
     m, d = x.shape
     f = w1.shape[1]
-    tm = _tile(m, d, f)
+    tm = _tile(m, d, f, x.dtype.itemsize)
     if tm == 0:
         raise ValueError(
             f"fused_mlp unsupported for M={m}, D={d}, F={f} (no dividing "
@@ -151,7 +153,7 @@ def _mlp_bwd(interpret: bool, res, do):
     x, w1, b1, w2, b2 = res
     m, d = x.shape
     f = w1.shape[1]
-    tm = _tile(m, d, f)
+    tm = _tile(m, d, f, x.dtype.itemsize)
     row = pl.BlockSpec((tm, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dx, dw1, db1, dw2, db2 = pl.pallas_call(
         _bwd_kernel,
@@ -186,17 +188,31 @@ def _use_interpret() -> bool:
     return os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
 
 
-def supports(m: int, d: int, f: int) -> bool:
-    """True if the kernel can run this shape (tile divides M, VMEM fits)."""
-    return _tile(m, d, f) > 0
+def supports(m: int, d: int, f: int, itemsize: int = 2) -> bool:
+    """True if the kernel can run this shape (tile divides M, VMEM fits).
+    ``m`` must be the PER-SHARD row count under a multi-device mesh (the
+    shard_map body sees local shapes)."""
+    return _tile(m, d, f, itemsize) > 0
 
 
 def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
               b2: jax.Array) -> jax.Array:
     """out = gelu(x @ w1 + b1) @ w2 + b2 over x [M, D] with the hidden
     [M, F] kept in VMEM; backward recomputes it. Caller must check
-    ``supports(M, D, F)`` and that the backend is TPU (or interpret)."""
+    ``supports(M_local, D, F)`` and that the backend is TPU (or interpret).
+
+    Under a multi-device mesh the call is shard_map-wrapped (rows sharded,
+    weights replicated — kernel_gate.shard_wrap); shard_map autodiff psums
+    the replicated weight cotangents across shards."""
+    from vlp_tpu.ops.kernel_gate import shard_wrap
+
     interpret = _use_interpret()
-    return _mlp(x, w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
-                w2.astype(x.dtype), b2.reshape(1, -1).astype(jnp.float32),
-                interpret)
+    call = shard_wrap(
+        lambda *a: _mlp(*a, interpret), x.shape[0],
+        in_batched=(True, False, False, False, False), out_batched=True)
+    if call is None:
+        raise ValueError(
+            f"fused_mlp: rows M={x.shape[0]} do not divide over the active "
+            "kernel mesh — guard calls with supports() on the local shape")
+    return call(x, w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
+                w2.astype(x.dtype), b2.reshape(1, -1).astype(jnp.float32))

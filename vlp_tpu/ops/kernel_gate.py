@@ -3,14 +3,22 @@
 Mosaic custom calls cannot be auto-partitioned by GSPMD: lowering a
 pallas_call inside a mesh-sharded jit with num_devices > 1 raises
 NotImplementedError ("wrap the call in a shard_map", jax
-tpu_custom_call.py). Until the kernels are shard_map-wrapped, multi-chip
-TPU processes fall back to the XLA paths (correct everywhere, slower);
-single-chip TPU — the benchmarked configuration — uses the real kernels.
+tpu_custom_call.py). The kernels here are embarrassingly batch-parallel,
+so multi-device dispatch wraps each kernel in a ``shard_map`` over the
+registered mesh (leading dim sharded on the data axis, weights replicated)
+— the kernel body then runs per shard exactly as in the single-chip case.
+
+The ACTIVE KERNEL MESH is registered by whoever builds the mesh/steps
+(``parallel.mesh.create_mesh``, ``train.step`` factories); kernels consult
+it at trace time. With no registered mesh in a multi-device process the
+kernels fall back to the XLA paths (correct everywhere, slower).
 
 CPU is unaffected: the XLA fallbacks are the default there, and the Pallas
-interpreter (used by kernel tests) partitions fine.
+interpreter (used by kernel tests) honors the same shard_map wrapping.
 """
 from __future__ import annotations
+
+from typing import Optional, Tuple
 
 import jax
 
@@ -19,18 +27,74 @@ from vlp_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 _warned = False
 
+# (Mesh, axis_name) registered by mesh/step factories; None = no mesh.
+_KERNEL_MESH: Optional[Tuple] = None
+
+
+def set_kernel_mesh(mesh, axis_name: str = "data") -> None:
+    """Register the process-wide mesh kernels shard_map over. Idempotent;
+    called from ``create_mesh`` and the step factories."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = None if mesh is None else (mesh, axis_name)
+
+
+def active_kernel_mesh() -> Tuple[Optional[object], Optional[str]]:
+    """(mesh, axis_name) when a multi-device mesh is registered, else
+    (None, None). Single-device meshes need no wrapping."""
+    if _KERNEL_MESH is None:
+        return None, None
+    mesh, axis = _KERNEL_MESH
+    if mesh.size <= 1:
+        return None, None
+    return mesh, axis
+
 
 def mosaic_ok() -> bool:
-    """True when real Mosaic kernels can run: TPU backend, single device."""
+    """True when real Mosaic kernels can run: TPU backend, and either a
+    single device or a registered mesh to shard_map over."""
     global _warned
     if jax.default_backend() != "tpu":
         return False
     if jax.device_count() == 1:
         return True
+    if _KERNEL_MESH is not None and _KERNEL_MESH[0].size == jax.device_count():
+        return True
     if not _warned:
         logger.warning(
-            "Pallas TPU kernels disabled under a %d-device process (Mosaic "
-            "custom calls cannot be GSPMD-partitioned; shard_map wrapping "
-            "pending) — using XLA fallbacks", jax.device_count())
+            "Pallas TPU kernels disabled: %d-device process without a "
+            "registered kernel mesh covering all devices (Mosaic custom "
+            "calls cannot be GSPMD-partitioned; call "
+            "parallel.mesh.create_mesh or set_kernel_mesh) — using XLA "
+            "fallbacks", jax.device_count())
         _warned = True
     return False
+
+
+def shard_wrap(fn, n: int, in_batched, out_batched):
+    """shard_map-wrap a batch-parallel kernel call over the active mesh.
+
+    ``in_batched`` / ``out_batched``: per-argument / per-output bools —
+    True = sharded on dim 0 over the data axis, False = replicated.
+    ``n`` is the global leading (batch) dim; returns the wrapped fn, or
+    None when a multi-device mesh is active but ``n`` does not divide over
+    it (caller must take the XLA fallback). With no active mesh the fn is
+    returned unchanged.
+    """
+    mesh, axis = active_kernel_mesh()
+    if mesh is None:
+        return fn
+    if n % mesh.size:
+        return None
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    spec = lambda b: P(axis) if b else P()
+    kwargs = dict(mesh=mesh, in_specs=tuple(spec(b) for b in in_batched),
+                  out_specs=jax.tree.map(spec, out_batched))
+    try:
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax
+        return shard_map(fn, check_rep=False, **kwargs)

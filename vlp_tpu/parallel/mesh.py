@@ -31,7 +31,13 @@ def create_mesh(data_parallel: int = -1, axis_name: str = "data",
     if n > len(devices):
         raise ValueError(
             f"requested data_parallel={n} but only {len(devices)} devices")
-    return Mesh(np.asarray(devices[:n]).reshape(n), (axis_name,))
+    mesh = Mesh(np.asarray(devices[:n]).reshape(n), (axis_name,))
+    # register as the process-wide kernel mesh: Pallas kernels shard_map
+    # over it instead of falling back to XLA in multi-device processes
+    from vlp_tpu.ops.kernel_gate import set_kernel_mesh
+
+    set_kernel_mesh(mesh, axis_name)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

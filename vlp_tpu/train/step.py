@@ -12,6 +12,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vlp_tpu.models.tasks import BaseTask
+from vlp_tpu.ops.kernel_gate import set_kernel_mesh
 from vlp_tpu.train.state import TrainState
 
 
@@ -23,6 +24,8 @@ def make_train_step(task: BaseTask, tx: optax.GradientTransformation,
     (mesh.fsdp_state_sharding) — params/moments sharded over the data axis
     ZeRO-style; GSPMD all-gathers at use and reduce-scatters the updates.
     None = fully replicated state (plain DP)."""
+    if mesh is not None:
+        set_kernel_mesh(mesh, axis_name)
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         rng, step_rng = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(task.loss_fn, has_aux=True)
@@ -61,6 +64,8 @@ def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
     remote PJRT tunnels, nonzero everywhere); scanning the loop on device
     makes throughput dispatch-free. Returns (new_state, losses[K]).
     """
+    if mesh is not None:
+        set_kernel_mesh(mesh, axis_name)
 
     def one_step(state: TrainState, batch: Dict):
         rng, step_rng = jax.random.split(state.rng)
@@ -90,6 +95,8 @@ def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
 
 def make_eval_step(task: BaseTask, mesh: Optional[Mesh] = None,
                    axis_name: str = "data") -> Callable:
+    if mesh is not None:
+        set_kernel_mesh(mesh, axis_name)
     def eval_step(variables: Dict, batch: Dict) -> Dict:
         return task.eval_fn(variables, batch)
 
@@ -105,6 +112,8 @@ def make_apply_fn(fn: Callable, mesh: Optional[Mesh] = None,
                   axis_name: str = "data") -> Callable:
     """Generic jitted (variables, batch) -> output with batch sharding
     (feature extraction, embedding passes)."""
+    if mesh is not None:
+        set_kernel_mesh(mesh, axis_name)
     if mesh is None:
         return jax.jit(fn)
     data = NamedSharding(mesh, P(axis_name))
