@@ -1,0 +1,99 @@
+"""Multi-device HBM-resident corpus (VERDICT r2 #2).
+
+The resident image corpus must work under a data mesh in both modes —
+replicated (corpus fits per chip: local gather, zero collectives) and
+sharded (rows split P(axis): all_gather indices + psum_scatter exchange) —
+producing BYTE-IDENTICAL batches to the host assemble path, per-batch and
+as [K, B] scan chunks.
+"""
+import numpy as np
+import pytest
+
+from vlp_tpu.data.pipeline import ArrayBundle, DeviceLoader
+from vlp_tpu.data.preprocess_host import ImageCache
+from vlp_tpu.data.sampler import ShuffleBatchSampler
+from vlp_tpu.ops.kernel_gate import set_kernel_mesh
+from vlp_tpu.parallel.mesh import create_mesh
+
+
+@pytest.fixture
+def mesh8():
+    mesh = create_mesh()
+    yield mesh
+    set_kernel_mesh(None)
+
+
+def _bundle(n=24):
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(n, 8, 8), dtype=np.uint8)
+    cache = ImageCache.from_arrays(imgs)
+    samples = [{"dataset": "INTERNAL" if i % 2 == 0 else "BTXRD",
+                "image_path": f"s{i}", "tumor": i % 2,
+                "clinical": np.zeros(15, np.float32)} for i in range(n)]
+    return ArrayBundle(samples, cache)
+
+
+def _host_batches(bundle, seed, bs, mesh):
+    loader = DeviceLoader(bundle, ShuffleBatchSampler(len(bundle), bs,
+                                                      seed=seed), bs, mesh)
+    loader._corpus = None  # force the host assemble path
+    return list(loader)
+
+
+def _assert_batches_equal(hb, rb):
+    assert len(hb) == len(rb)
+    for x, y in zip(hb, rb):
+        assert set(x) == set(y)
+        for k in x:
+            np.testing.assert_array_equal(np.asarray(x[k]),
+                                          np.asarray(y[k]), err_msg=k)
+
+
+@pytest.mark.parametrize("mode,limit_mb", [
+    ("replicated", "4096"),
+    ("sharded", "0.0005"),  # 24*64 B corpus; 1/8th fits, whole doesn't
+])
+def test_mesh_resident_matches_host(mesh8, monkeypatch, mode, limit_mb):
+    monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", limit_mb)
+    b = _bundle(24)
+    res = DeviceLoader(b, ShuffleBatchSampler(24, 8, seed=7), 8, mesh8)
+    assert res._corpus is not None and res._corpus.mode == mode
+    rb = list(res)
+    _assert_batches_equal(_host_batches(_bundle(24), 7, 8, mesh8), rb)
+    # batches arrive sharded over the mesh
+    shard_dev_counts = {len(v.sharding.device_set)
+                        for v in rb[0].values()}
+    assert 8 in shard_dev_counts
+
+
+@pytest.mark.parametrize("mode,limit_mb", [
+    ("replicated", "4096"),
+    ("sharded", "0.0005"),
+])
+def test_mesh_resident_scan_chunks_match(mesh8, monkeypatch, mode, limit_mb):
+    monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", limit_mb)
+    b = _bundle(24)
+    res = DeviceLoader(b, ShuffleBatchSampler(24, 8, seed=9), 8, mesh8)
+    assert res._corpus is not None and res._corpus.mode == mode
+
+    host = DeviceLoader(_bundle(24), ShuffleBatchSampler(24, 8, seed=9), 8,
+                        mesh8)
+    host._corpus = None
+    hk = list(host.iter_scan_chunks(2))
+    rk = list(res.iter_scan_chunks(2))
+    assert [k for k, _ in hk] == [k for k, _ in rk] == ["chunk", "single"]
+    for (_, x), (_, y) in zip(hk, rk):
+        for k in x:
+            np.testing.assert_array_equal(np.asarray(x[k]),
+                                          np.asarray(y[k]), err_msg=k)
+
+
+def test_sharded_mode_pads_indivisible_rows(mesh8, monkeypatch):
+    """Corpus rows not divisible by the mesh: zero-padded, batches still
+    byte-identical (indices never reach the pad rows)."""
+    monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "0.0005")
+    b = _bundle(21)  # 21 % 8 != 0
+    res = DeviceLoader(b, ShuffleBatchSampler(21, 8, seed=11), 8, mesh8)
+    assert res._corpus is not None and res._corpus.mode == "sharded"
+    rb = list(res)
+    _assert_batches_equal(_host_batches(_bundle(21), 11, 8, mesh8), rb)

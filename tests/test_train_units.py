@@ -129,11 +129,11 @@ class TestPipeline:
         b = self._bundle(10)
         host = DeviceLoader(b, ShuffleBatchSampler(10, 4, seed=3), 4)
         monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "0")  # force host path
-        host._images_dev = None
+        host._corpus = None
         hb = list(host)
         monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "4096")
         res = DeviceLoader(b, ShuffleBatchSampler(10, 4, seed=3), 4)
-        assert res._images_dev is not None, "resident mode did not engage"
+        assert res._corpus is not None, "resident mode did not engage"
         rb = list(res)
         assert len(hb) == len(rb)
         for x, y in zip(hb, rb):
@@ -174,7 +174,7 @@ class TestPipeline:
         monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "4096")
         b = self._bundle(10)
         res = DeviceLoader(b, ShuffleBatchSampler(10, 4, seed=5), 4)
-        assert res._images_dev is not None
+        assert res._corpus is not None
         kinds = []
         total = 0
         for kind, payload in res.iter_scan_chunks(2):

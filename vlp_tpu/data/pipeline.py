@@ -94,28 +94,148 @@ class ArrayBundle:
         return batch
 
 
-_RESIDENT_LIMIT_MB = "VLP_DEVICE_RESIDENT_MB"  # 0 disables
-
-
-def _resident_images(cache: ImageCache):
-    """Upload the whole uint8 image cache to device HBM ONCE per process
-    (shared across loaders) when it fits the budget. Batches then gather on
-    device and only indices/metadata cross the host->device link — on
-    remote-PJRT tunnels the per-batch pixel transfer is otherwise the
-    training bottleneck (measured ~10x), and even on local hosts it frees
-    PCIe. MURA+LERA at 224px is ~2 GB; the downstream set ~350 MB."""
-    limit_mb = float(os.environ.get(_RESIDENT_LIMIT_MB, "4096"))
-    if cache.data.nbytes > limit_mb * 1e6:
-        return None
-    dev = getattr(cache, "_device_u8", None)
-    if dev is None:
-        dev = jax.device_put(np.asarray(cache.data))
-        cache._device_u8 = dev
-    return dev
+_RESIDENT_LIMIT_MB = "VLP_DEVICE_RESIDENT_MB"  # per-device budget; 0 disables
 
 
 _gather_images = jax.jit(
     lambda imgs, idx: jnp.take(imgs, idx, axis=0, mode="clip"))
+
+
+class ResidentCorpus:
+    """Device-resident uint8 image corpus with on-device batch gather.
+
+    Modes (chosen by the per-device HBM budget, VLP_DEVICE_RESIDENT_MB):
+    - ``local``: single device — plain device_put + jnp.take.
+    - ``replicated``: multi-device mesh, corpus fits per chip — stored
+      P() over the mesh; each device gathers its own batch shard locally
+      (idx sharded P(axis) -> output sharded P(axis), zero collectives).
+    - ``sharded``: corpus rows sharded P(axis) (1/mesh.size per chip);
+      gather runs under shard_map: all_gather the wanted indices, each
+      shard contributes the rows it owns, psum_scatter hands every device
+      its output block. Pixels ride ICI once (~B x img bytes per batch).
+
+    Either way only INDICES cross the host->device link per batch — on
+    remote-PJRT tunnels the per-batch pixel transfer is otherwise the
+    training bottleneck (measured ~10x), and even locally it frees PCIe.
+    MURA+LERA at 224px is ~2 GB; the downstream set ~350 MB.
+    """
+
+    def __init__(self, cache: ImageCache, mesh, axis_name: str,
+                 mode: str) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mode = mode
+        self.mesh = mesh
+        self.axis_name = axis_name
+        data = np.asarray(cache.data)
+        if mode == "local":
+            self.images = jax.device_put(data)
+            self._take1 = _gather_images
+            self._takek = _gather_images
+            return
+        take = lambda imgs, idx: jnp.take(imgs, idx, axis=0, mode="clip")
+        if mode == "replicated":
+            self.images = jax.device_put(data, NamedSharding(mesh, P()))
+            self._take1 = jax.jit(
+                take, out_shardings=NamedSharding(mesh, P(axis_name)))
+            self._takek = jax.jit(
+                take, out_shardings=NamedSharding(mesh, P(None, axis_name)))
+            return
+        assert mode == "sharded"
+        n = mesh.size
+        pad = (-len(data)) % n
+        if pad:  # rows must divide over the mesh
+            data = np.concatenate(
+                [data, np.zeros((pad,) + data.shape[1:], data.dtype)])
+        self.images = jax.device_put(
+            data, NamedSharding(mesh, P(axis_name)))
+        self._take1 = jax.jit(self._sharded_gather([0]))
+        self._takek = jax.jit(self._sharded_gather([None, 0]))
+
+    def _sharded_gather(self, idx_dims):
+        """shard_map gather over row-sharded images. ``idx_dims``: which
+        idx dim carries the batch shard (P(axis) or P(None, axis))."""
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        axis = self.axis_name
+        n = self.mesh.size
+        chunked = idx_dims == [None, 0]
+
+        def body(imgs_local, idx_local):
+            d = jax.lax.axis_index(axis)
+            rows = imgs_local.shape[0]
+            if chunked:  # [K, b_local] -> global [K, B_g] in device order
+                k, bl = idx_local.shape
+                idx_all = jax.lax.all_gather(idx_local, axis)  # [n, K, bl]
+                idx_all = idx_all.transpose(1, 0, 2).reshape(k, n * bl)
+            else:
+                idx_all = jax.lax.all_gather(idx_local, axis, tiled=True)
+            local = idx_all - d * rows
+            inb = (local >= 0) & (local < rows)
+            got = jnp.take(imgs_local, jnp.clip(local, 0, rows - 1), axis=0)
+            # int16 accumulator: exactly one shard owns each row, the rest
+            # contribute zeros, so the sum is exact; u8 psum support varies
+            got = jnp.where(
+                inb.reshape(inb.shape + (1,) * (got.ndim - inb.ndim)),
+                got, 0).astype(jnp.int16)
+            out = jax.lax.psum_scatter(
+                got, axis, scatter_dimension=(1 if chunked else 0),
+                tiled=True)
+            return out.astype(jnp.uint8)
+
+        spec = lambda dims: P(*(axis if d == 0 else None for d in dims))
+        kwargs = dict(mesh=self.mesh,
+                      in_specs=(P(axis), spec(idx_dims)),
+                      out_specs=spec(idx_dims))
+        try:
+            return shard_map(body, check_vma=False, **kwargs)
+        except TypeError:  # pragma: no cover - older jax
+            return shard_map(body, check_rep=False, **kwargs)
+
+    def _put_idx(self, idx: np.ndarray):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.mode == "local":
+            return jax.device_put(idx)
+        spec = P(self.axis_name) if idx.ndim == 1 else P(None, self.axis_name)
+        return jax.device_put(idx, NamedSharding(self.mesh, spec))
+
+    def gather(self, idx: np.ndarray):
+        """[B] indices -> [B, ...] batch-sharded pixels on device."""
+        return self._take1(self.images, self._put_idx(idx))
+
+    def gather_chunk(self, idx: np.ndarray):
+        """[K, B] indices -> [K, B, ...] pixels sharded on dim 1."""
+        return self._takek(self.images, self._put_idx(idx))
+
+
+def _resident_images(cache: ImageCache, mesh=None,
+                     axis_name: str = "data") -> Optional[ResidentCorpus]:
+    """Build (once per cache+mode, shared across loaders) the device-
+    resident corpus, or None when it exceeds the budget even sharded."""
+    limit_mb = float(os.environ.get(_RESIDENT_LIMIT_MB, "4096"))
+    nbytes = cache.data.nbytes
+    if mesh is None or mesh.size == 1:
+        mode = "local" if nbytes <= limit_mb * 1e6 else None
+    elif nbytes <= limit_mb * 1e6:
+        mode = "replicated"
+    elif nbytes / mesh.size <= limit_mb * 1e6:
+        mode = "sharded"
+    else:
+        mode = None
+    if mode is None:
+        return None
+    key = (mode, id(mesh))
+    cached = getattr(cache, "_resident", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    corpus = ResidentCorpus(cache, mesh, axis_name, mode)
+    cache._resident = (key, corpus)
+    return corpus
 
 
 class DeviceLoader:
@@ -130,10 +250,10 @@ class DeviceLoader:
         self.mesh = mesh
         self.axis_name = axis_name
         self.prefetch_depth = max(1, prefetch_depth)
-        # device-resident image corpus (single-device only: under a data
-        # mesh each host feeds its shard with the per-batch path)
-        self._images_dev = _resident_images(bundle.cache) \
-            if mesh is None or mesh.size == 1 else None
+        # device-resident image corpus: local on one device, replicated or
+        # row-sharded over a mesh (see ResidentCorpus) — only indices cross
+        # the host->device link either way
+        self._corpus = _resident_images(bundle.cache, mesh, axis_name)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -166,12 +286,11 @@ class DeviceLoader:
 
     def _make_batch(self, indices) -> Dict:
         """One device batch: resident path gathers pixels on device."""
-        if self._images_dev is None:
+        if self._corpus is None:
             return self._put(self.bundle.assemble(indices, self.batch_size))
         meta, cidx = self.bundle.assemble_meta(indices, self.batch_size)
-        out = {k: jax.device_put(v) for k, v in meta.items()}
-        out["image_u8"] = _gather_images(self._images_dev,
-                                         jax.device_put(cidx))
+        out = self._put(meta)
+        out["image_u8"] = self._corpus.gather(cidx)
         return out
 
     @staticmethod
@@ -231,8 +350,10 @@ class DeviceLoader:
     def _put_chunk(self, host_batches: List[Dict[str, np.ndarray]]):
         """Stack k host batches to [K, B, ...] and transfer once, sharded
         P(None, axis) so the scanned step shards batch dim B."""
-        stacked = {k: np.stack([b[k] for b in host_batches])
-                   for k in host_batches[0]}
+        return self._put_stacked({k: np.stack([b[k] for b in host_batches])
+                                  for k in host_batches[0]})
+
+    def _put_stacked(self, stacked: Dict[str, np.ndarray]):
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -242,16 +363,15 @@ class DeviceLoader:
 
     def _make_chunk(self, index_groups: List) -> Dict:
         """[K, B, ...] chunk; resident path gathers [K, B] rows on device."""
-        if self._images_dev is None:
+        if self._corpus is None:
             return self._put_chunk([
                 self.bundle.assemble(ix, self.batch_size)
                 for ix in index_groups])
         metas, cidxs = zip(*[self.bundle.assemble_meta(ix, self.batch_size)
                              for ix in index_groups])
-        stacked = {k: np.stack([m[k] for m in metas]) for k in metas[0]}
-        out = {k: jax.device_put(v) for k, v in stacked.items()}
-        out["image_u8"] = _gather_images(self._images_dev,
-                                         jax.device_put(np.stack(cidxs)))
+        out = self._put_stacked(
+            {k: np.stack([m[k] for m in metas]) for k in metas[0]})
+        out["image_u8"] = self._corpus.gather_chunk(np.stack(cidxs))
         return out
 
     def iter_scan_chunks(self, k: int) -> Iterator:
