@@ -151,3 +151,96 @@ class TestMetricPsum:
             merged = M.merge_states(merged, p)
         for k, v in M.compute_metrics(full).items():
             assert abs(float(v) - float(M.compute_metrics(merged)[k])) < 1e-6
+
+
+class TestInfoNCEImplWiring:
+    """mesh.infonce_impl (config/core.py) must have a consumer: the VLP
+    loss selects the chunked shard_map global-batch InfoNCE (VERDICT r2 #5).
+    """
+
+    def _cfg(self, impl):
+        from vlp_tpu.config import Config
+
+        cfg = Config()
+        cfg.model.task = "vision_language"
+        cfg.model.model = "resnet_micro"
+        cfg.model.text_model = "microbert"
+        cfg.trainer.precision = "fp32"
+        cfg.optimizer.name = "sgd"
+        cfg.scheduler.name = "none"
+        cfg.optimizer.lr = 0.01
+        cfg.data.disable_augmentations = True
+        cfg.mesh.infonce_impl = impl
+        return cfg
+
+    def test_invalid_impl_rejected(self):
+        from vlp_tpu.models.tasks import TaskStatics, build_task
+        from vlp_tpu.ops.augment import AugmentConfig
+
+        cfg = self._cfg("bogus")
+        with pytest.raises(ValueError, match="infonce_impl"):
+            build_task(cfg, TaskStatics(mean=128.0, std=30.0,
+                                        augment=AugmentConfig(enabled=False)))
+
+    def test_shard_map_impl_step_matches_gspmd(self):
+        """One mesh train step under each impl: same loss, same params."""
+        from vlp_tpu.models.tasks import TaskStatics, build_task
+        from vlp_tpu.ops.augment import AugmentConfig
+        from vlp_tpu.train.optim import make_optimizer
+        from vlp_tpu.train.state import TrainState
+        from vlp_tpu.train.step import make_train_step
+
+        statics = TaskStatics(mean=128.0, std=30.0,
+                              augment=AugmentConfig(enabled=False))
+        rng = np.random.default_rng(1)
+        B, S = 16, 32
+        batch = {
+            "image_u8": jnp.asarray(rng.integers(0, 255, (B, S, S),
+                                                 dtype=np.uint8)),
+            "input_ids": jnp.asarray(rng.integers(1, 100, (B, 8),
+                                                  dtype=np.int32)),
+            "attention_mask": jnp.ones((B, 8), jnp.int32),
+            "caption_id": jnp.arange(B, dtype=jnp.int32),
+            "label": jnp.zeros((B,), jnp.int32),
+            # padded tail: the shard_map path must mask identically
+            "mask": jnp.asarray([1.0] * 12 + [0.0] * 4, jnp.float32),
+        }
+        mesh = create_mesh()
+        results = {}
+        for impl in ("gspmd", "shard_map"):
+            task = build_task(self._cfg(impl), statics)
+            variables = task.init_variables(jax.random.key(0), batch)
+            tx = make_optimizer(self._cfg(impl), variables["params"], 10)
+            state = TrainState.create(
+                variables["params"],
+                {k: x for k, x in variables.items() if k != "params"},
+                tx, jax.random.key(1))
+            step = make_train_step(task, tx, mesh=mesh)
+            s, aux = step(jax.device_put(state, replicated(mesh)),
+                          shard_batch(batch, mesh))
+            results[impl] = (float(aux["loss"]), jax.tree.leaves(s.params))
+        l_g, p_g = results["gspmd"]
+        l_s, p_s = results["shard_map"]
+        assert abs(l_g - l_s) < 1e-4
+        worst = max(float(jnp.abs(a - b).max()) for a, b in zip(p_g, p_s))
+        assert worst < 1e-4, f"param divergence {worst}"
+
+    def test_shard_map_avoids_global_logits_buffer(self):
+        """Memory claim: per shard, the chunked loss materializes only its
+        [B_local, B_global] row block — the compiled module must contain no
+        full [B_g, B_g] buffer (the GSPMD dense path does)."""
+        mesh = create_mesh()
+        B, E = 256, 32
+        rng = np.random.default_rng(2)
+        sh = batch_sharding(mesh)
+        img = jax.device_put(jnp.asarray(rng.normal(size=(B, E)),
+                                         jnp.float32), sh)
+        txt = jax.device_put(jnp.asarray(rng.normal(size=(B, E)),
+                                         jnp.float32), sh)
+        scale = jax.device_put(jnp.float32(20.0), replicated(mesh))
+        mask = jax.device_put(jnp.ones(B, jnp.float32), sh)
+
+        sm = jax.jit(global_infonce_shard_map(mesh))
+        hlo_sm = sm.lower(img, txt, scale, mask).compile().as_text()
+        assert "f32[256,256]" not in hlo_sm
+        assert "f32[32,256]" in hlo_sm  # the local row block

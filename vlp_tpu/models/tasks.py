@@ -272,6 +272,16 @@ class VisionLanguageTask(BaseTask):
         self.scale_max = float(cfg.model.logit_scale_max)
         self.loss_variant = cfg.model.loss_variant
         self.statics = statics
+        self.axis_name = axis_name
+        # gspmd: dense [B,B] logits, GSPMD inserts the all-gather.
+        # shard_map: chunked global-batch loss — each shard materializes
+        # only its [B_local, B_global] row block (parallel/infonce.py);
+        # the scale axis for large global batches (SURVEY.md §5).
+        if cfg.mesh.infonce_impl not in ("gspmd", "shard_map"):
+            raise ValueError(
+                f"mesh.infonce_impl={cfg.mesh.infonce_impl!r} "
+                "(expected 'gspmd' or 'shard_map')")
+        self.infonce_impl = cfg.mesh.infonce_impl
 
     def init_variables(self, rng, batch):
         images = self._prep_eval(batch, self.statics)
@@ -286,19 +296,41 @@ class VisionLanguageTask(BaseTask):
             {"params": params, **extra_vars}, images, batch["input_ids"],
             batch["attention_mask"], train=True, mutable=["batch_stats"],
             rngs={"dropout": dkey})
-        logits = losses.clip_logits(img_emb, txt_emb, logit_scale,
-                                    self.scale_max)
-        mask = batch.get("mask", jnp.ones(logits.shape[0]))
+        mask = batch.get("mask", jnp.ones(img_emb.shape[0]))
         if self.loss_variant == "masked":
+            logits = losses.clip_logits(img_emb, txt_emb, logit_scale,
+                                        self.scale_max)
             loss = losses.masked_infonce(logits, batch["caption_id"], mask)
         elif self.loss_variant == "non_square":
+            logits = losses.clip_logits(img_emb, txt_emb, logit_scale,
+                                        self.scale_max)
             loss = losses.non_square_infonce(logits, batch["caption_id"],
                                              mask)
         else:
-            loss = losses.symmetric_infonce(logits, mask)
+            loss = self._symmetric_loss(img_emb, txt_emb, logit_scale, mask)
         aux = {"loss": loss, "logit_scale": logit_scale,
                "img_emb": img_emb, "txt_emb": txt_emb, "mask": mask}
         return loss, (mutated, aux)
+
+    def _symmetric_loss(self, img_emb, txt_emb, logit_scale, mask):
+        """Symmetric InfoNCE via the configured impl. The shard_map variant
+        engages when mesh.infonce_impl='shard_map' and a multi-device mesh
+        is active; the masked/non_square deprecated variants always use the
+        dense path (they index caption_id against the full matrix)."""
+        if self.infonce_impl == "shard_map":
+            from vlp_tpu.ops.kernel_gate import active_kernel_mesh
+            from vlp_tpu.parallel.infonce import global_infonce_shard_map
+
+            mesh, axis = active_kernel_mesh()
+            if mesh is not None:
+                scale = jnp.minimum(jnp.exp(logit_scale), self.scale_max)
+                return global_infonce_shard_map(mesh, axis)(
+                    img_emb.astype(jnp.float32),
+                    txt_emb.astype(jnp.float32), scale,
+                    mask.astype(jnp.float32))
+        logits = losses.clip_logits(img_emb, txt_emb, logit_scale,
+                                    self.scale_max)
+        return losses.symmetric_infonce(logits, mask)
 
     def eval_fn(self, variables, batch):
         images = self._prep_eval(batch, self.statics)
