@@ -124,25 +124,28 @@ def _linear_probe_callback(cfg: Config, mesh, downstream: DownstreamData,
     probe_task.statics = fold.statics
 
     def extract(variables):
-        from vlp_tpu.train.step import make_apply_fn
+        from vlp_tpu.train.step import collect_over_loader
 
-        fn = make_apply_fn(probe_task.features_fn, mesh, cfg.mesh.axis_name)
-        feats_tr, y_tr = _collect(fn, variables, fold.train_loader)
+        k = max(1, cfg.trainer.scan_steps)
+        feats_tr, y_tr = collect_over_loader(
+            probe_task.features_fn, variables, fold.train_loader, k, mesh,
+            cfg.mesh.axis_name)
         xs, ys = [], []
         for loader in fold.val_loaders.values():
-            f, y = _collect(fn, variables, loader)
+            f, y = collect_over_loader(probe_task.features_fn, variables,
+                                       loader, k, mesh, cfg.mesh.axis_name)
             xs.append(f)
             ys.append(y)
         return feats_tr, y_tr, np.concatenate(xs), np.concatenate(ys)
 
     def embed_val(variables):
-        from vlp_tpu.train.step import make_apply_fn
+        from vlp_tpu.train.step import collect_over_loader
 
-        fn = make_apply_fn(probe_task.embed_images_fn, mesh,
-                           cfg.mesh.axis_name)
+        k = max(1, cfg.trainer.scan_steps)
         xs, ys = [], []
         for loader in fold.val_loaders.values():
-            e, y = _collect(fn, variables, loader)
+            e, y = collect_over_loader(probe_task.embed_images_fn, variables,
+                                       loader, k, mesh, cfg.mesh.axis_name)
             xs.append(e)
             ys.append(y)
         return np.concatenate(xs), np.concatenate(ys)
@@ -150,16 +153,6 @@ def _linear_probe_callback(cfg: Config, mesh, downstream: DownstreamData,
     probe = LinearProbeCallback(extract, every_n_epochs=every_n)
     pak = DownstreamPrecisionAtK(embed_val, ks=cfg.model.retrieval_ks)
     return probe, pak, fold
-
-
-def _collect(fn, variables, loader):
-    feats, labels = [], []
-    for batch in loader:
-        f = np.asarray(jax.device_get(fn(variables, batch)))
-        m = np.asarray(jax.device_get(batch["mask"])) > 0
-        feats.append(f[m])
-        labels.append(np.asarray(jax.device_get(batch["label"]))[m])
-    return np.concatenate(feats), np.concatenate(labels)
 
 
 def train(cfg: Config) -> Dict[str, float]:
@@ -339,18 +332,19 @@ def _downstream_precision_at_k(cfg: Config, trainer: Trainer,
     the entire downstream train+val data (reference src/train.py:187-211,
     VisionLanguageModule.py:299-361)."""
     from vlp_tpu.ops.retrieval import label_precision_at_k
-    from vlp_tpu.train.step import make_apply_fn
+    from vlp_tpu.train.step import collect_over_loader
 
     best = trainer.checkpointer.restore_best(
         {"params": trainer.state.params,
          "extra_vars": trainer.state.extra_vars})
     variables = {"params": best["params"], **best["extra_vars"]}
-    fn = make_apply_fn(trainer.task.embed_images_fn, mesh, cfg.mesh.axis_name)
     fold = next(downstream.folds())
     embs, labels = [], []
     loaders = [fold.train_loader] + list(fold.val_loaders.values())
     for loader in loaders:
-        e, y = _collect(fn, variables, loader)
+        e, y = collect_over_loader(
+            trainer.task.embed_images_fn, variables, loader,
+            max(1, cfg.trainer.scan_steps), mesh, cfg.mesh.axis_name)
         embs.append(e)
         labels.append(y)
     import jax.numpy as jnp

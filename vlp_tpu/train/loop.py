@@ -32,8 +32,10 @@ from vlp_tpu.train.callbacks import EarlyStopping, LinearProbeCallback, MetricSn
 from vlp_tpu.train.optim import make_optimizer
 from vlp_tpu.train.state import TrainState
 from vlp_tpu.train.step import (
-    make_apply_fn,
+    collect_over_loader,
     make_eval_step,
+    make_scanned_apply_fn,
+    make_scanned_metric_eval_step,
     make_scanned_train_step,
     make_train_step,
 )
@@ -104,6 +106,18 @@ class Trainer:
                                     self.state_shardings)
             if self.use_scan else None)
         self.eval_step = make_eval_step(task, mesh, cfg.mesh.axis_name)
+        # K-batch scanned validation: dispatch count drops from O(batches)
+        # to O(batches/K). Classifier metric state streams through the scan
+        # carry (one fetch per loader); VLP embeddings come back stacked
+        # per chunk.
+        self.eval_scan_k = self.scan_k if self.scan_k > 1 else 0
+        if self.eval_scan_k:
+            if isinstance(task, VisionLanguageTask):
+                self.scan_eval = make_scanned_apply_fn(
+                    task.eval_fn, self.eval_scan_k, mesh, cfg.mesh.axis_name)
+            else:
+                self.scan_metric_eval = make_scanned_metric_eval_step(
+                    task, self.eval_scan_k, mesh, cfg.mesh.axis_name)
         self.checkpointer = (
             Checkpointer(checkpoint_dir, cfg.trainer.checkpoint_monitor,
                          cfg.trainer.checkpoint_mode)
@@ -319,10 +333,21 @@ class Trainer:
         combined = M.init_state()
         for name, loader in self.val_loaders.items():
             st = M.init_state()
-            for batch in loader:
-                o = self.eval_step(self.variables, batch)
-                st = M.update_state(st, o["logits"], o["labels"], o["mask"],
-                                    o["loss"])
+            if self.eval_scan_k:
+                for kind, payload in loader.iter_scan_chunks(
+                        self.eval_scan_k):
+                    if kind == "chunk":
+                        st = self.scan_metric_eval(self.variables, st,
+                                                   payload)
+                    else:
+                        o = self.eval_step(self.variables, payload)
+                        st = M.update_state(st, o["logits"], o["labels"],
+                                            o["mask"], o["loss"])
+            else:
+                for batch in loader:
+                    o = self.eval_step(self.variables, batch)
+                    st = M.update_state(st, o["logits"], o["labels"],
+                                        o["mask"], o["loss"])
             combined = M.merge_states(combined, st)
             for k, v in M.compute_metrics(st, prefix=f"val/{name}/").items():
                 out[k] = float(jax.device_get(v))
@@ -337,14 +362,16 @@ class Trainer:
         out: Dict[str, float] = {}
         for name, loader in self.val_loaders.items():
             img_chunks, txt_chunks, label_chunks, losses = [], [], [], []
-            for batch in loader:
-                o = self.eval_step(self.variables, batch)
-                mask = np.asarray(jax.device_get(o["mask"])) > 0
-                img_chunks.append(np.asarray(jax.device_get(o["img_emb"]))[mask])
-                txt_chunks.append(np.asarray(jax.device_get(o["txt_emb"]))[mask])
-                label_chunks.append(
-                    np.asarray(jax.device_get(batch["label"]))[mask])
-                losses.append(float(jax.device_get(o["loss"])))
+            for o, batch, chunked in self._eval_outputs(loader):
+                mask = np.asarray(jax.device_get(o["mask"])).reshape(-1) > 0
+                flat = (lambda x: np.asarray(jax.device_get(x)).reshape(
+                    (-1,) + x.shape[2:])) if chunked else                     (lambda x: np.asarray(jax.device_get(x)))
+                img_chunks.append(flat(o["img_emb"])[mask])
+                txt_chunks.append(flat(o["txt_emb"])[mask])
+                label_chunks.append(np.asarray(
+                    jax.device_get(batch["label"])).reshape(-1)[mask])
+                losses.extend(np.atleast_1d(
+                    np.asarray(jax.device_get(o["loss"]))).tolist())
             if not img_chunks:
                 continue  # empty/fully-masked val loader: skip, don't crash
             img = jnp.asarray(np.concatenate(img_chunks))
@@ -363,16 +390,23 @@ class Trainer:
                 [out[f"val/{n}/loss"] for n in self.val_loaders]))
         return out
 
+    def _eval_outputs(self, loader):
+        """Yield (eval output, source payload, chunked?) triples using
+        K-batch scan dispatches when enabled."""
+        if self.eval_scan_k and isinstance(self.task, VisionLanguageTask):
+            for kind, payload in loader.iter_scan_chunks(self.eval_scan_k):
+                if kind == "chunk":
+                    yield self.scan_eval(self.variables, payload),                         payload, True
+                else:
+                    yield self.eval_step(self.variables, payload),                         payload, False
+        else:
+            for batch in loader:
+                yield self.eval_step(self.variables, batch), batch, False
+
     # ------------------------------------------------------------------
     def extract_features(self, loader: DeviceLoader) -> Tuple[np.ndarray, np.ndarray]:
         """Frozen-model pooled features + labels over a loader (linear probe
-        / t-SNE / transfer eval)."""
-        fn = make_apply_fn(self.task.features_fn, self.mesh,
-                           self.cfg.mesh.axis_name)
-        feats, labels = [], []
-        for batch in loader:
-            f = np.asarray(jax.device_get(fn(self.variables, batch)))
-            mask = np.asarray(jax.device_get(batch["mask"])) > 0
-            feats.append(f[mask])
-            labels.append(np.asarray(jax.device_get(batch["label"]))[mask])
-        return np.concatenate(feats), np.concatenate(labels)
+        / t-SNE / transfer eval); K-batch scan dispatches."""
+        return collect_over_loader(
+            self.task.features_fn, self.variables, loader,
+            self.eval_scan_k or 1, self.mesh, self.cfg.mesh.axis_name)

@@ -118,3 +118,88 @@ def make_apply_fn(fn: Callable, mesh: Optional[Mesh] = None,
         return jax.jit(fn)
     data = NamedSharding(mesh, P(axis_name))
     return jax.jit(fn, in_shardings=(None, data), out_shardings=None)
+
+
+def make_scanned_apply_fn(fn, num_steps: int, mesh: Optional[Mesh] = None,
+                          axis_name: str = "data") -> Callable:
+    """(variables, batches [K, ...]) -> stacked fn outputs [K, ...] via ONE
+    ``lax.scan`` dispatch — collapses per-batch eval / feature-extraction
+    host round trips the same way the scanned train step does. Used for
+    VLP validation embeddings and linear-probe feature extraction."""
+    if mesh is not None:
+        set_kernel_mesh(mesh, axis_name)
+
+    def multi(variables: Dict, batches: Dict):
+        def body(c, b):
+            return c, fn(variables, b)
+
+        _, outs = jax.lax.scan(body, 0, batches, length=num_steps)
+        return outs
+
+    if mesh is None:
+        return jax.jit(multi)
+    data = NamedSharding(mesh, P(None, axis_name))
+    return jax.jit(multi, in_shardings=(None, data), out_shardings=None)
+
+
+def make_scanned_metric_eval_step(task: BaseTask, num_steps: int,
+                                  mesh: Optional[Mesh] = None,
+                                  axis_name: str = "data") -> Callable:
+    """Classifier validation: K eval batches per dispatch with the
+    streaming metric state riding the scan carry — nothing leaves the
+    device per batch; the caller fetches the state once per loader."""
+    from vlp_tpu.ops import metrics as M
+
+    if mesh is not None:
+        set_kernel_mesh(mesh, axis_name)
+
+    def multi(variables: Dict, st, batches: Dict):
+        def body(st, b):
+            o = task.eval_fn(variables, b)
+            return M.update_state(st, o["logits"], o["labels"], o["mask"],
+                                  o["loss"]), ()
+
+        st, _ = jax.lax.scan(body, st, batches, length=num_steps)
+        return st
+
+    if mesh is None:
+        return jax.jit(multi)
+    data = NamedSharding(mesh, P(None, axis_name))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(multi, in_shardings=(None, repl, data),
+                   out_shardings=repl)
+
+
+def collect_over_loader(fn, variables: Dict, loader, scan_steps: int = 8,
+                        mesh: Optional[Mesh] = None,
+                        axis_name: str = "data"):
+    """Masked (out, labels) over a whole loader with K-batch scan
+    dispatches: O(batches/scan_steps) host round trips instead of
+    O(batches). Padding rows (mask 0) are dropped."""
+    import numpy as np
+
+    single = make_apply_fn(fn, mesh, axis_name)
+    outs, labels = [], []
+
+    def eat(o, mask, label, chunked):
+        m = np.asarray(jax.device_get(mask)).reshape(-1) > 0
+        f = np.asarray(jax.device_get(o))
+        if chunked:  # [K, B, ...] -> [K*B, ...] (row order matches mask)
+            f = f.reshape((-1,) + f.shape[2:])
+        outs.append(f[m])
+        labels.append(np.asarray(jax.device_get(label)).reshape(-1)[m])
+
+    if scan_steps > 1:
+        scan = make_scanned_apply_fn(fn, scan_steps, mesh, axis_name)
+        for kind, payload in loader.iter_scan_chunks(scan_steps):
+            if kind == "chunk":
+                eat(scan(variables, payload), payload["mask"],
+                    payload["label"], True)
+            else:
+                eat(single(variables, payload), payload["mask"],
+                    payload["label"], False)
+    else:
+        for batch in loader:
+            eat(single(variables, batch), batch["mask"], batch["label"],
+                False)
+    return np.concatenate(outs), np.concatenate(labels)
