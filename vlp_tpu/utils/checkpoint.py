@@ -145,7 +145,10 @@ def save(path: str, tree: Any) -> str:
 def restore(path: str, example_tree: Any) -> Any:
     """Restore into the shape of ``example_tree``. When the checkpoint holds
     a SUPERSET of the requested top-level keys (full-state checkpoints read
-    by weights-only consumers), the requested subset is returned."""
+    by weights-only consumers), the requested subset is returned. Attention
+    param layouts are migrated automatically when the checkpoint and the
+    target disagree on ``model.fused_attention`` (fused attn/{qkv,out} vs
+    flax attn/{query,key,value,out} — the two are linear repackagings)."""
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()),
@@ -160,7 +163,15 @@ def restore(path: str, example_tree: Any) -> Any:
         if missing:
             raise KeyError(
                 f"checkpoint {path} lacks requested keys {sorted(missing)}")
-        return {k: raw[k] for k in example_tree}
+        subset = {k: raw[k] for k in example_tree}
+        subset, n = adapt_attention_layout(subset, example_tree)
+        if n:
+            logger.info(
+                "Migrated %d attention block(s) between fused and flax "
+                "param layouts while restoring %s (checkpoint was saved "
+                "with a different model.fused_attention setting)", n, path)
+        _check_same_structure(subset, example_tree, path)
+        return subset
 
 
 def restore_raw(path: str) -> Any:
@@ -169,6 +180,104 @@ def restore_raw(path: str) -> Any:
     loading a VLP checkpoint to graft its image tower into a classifier."""
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path))
+
+
+# -- fused <-> flax attention layout migration ------------------------------
+#
+# FusedSelfAttention (models/vit.py) stores attn/{qkv,out} with a packed
+# [D, 3D] qkv kernel; flax nn.MultiHeadDotProductAttention stores
+# attn/{query,key,value,out} with [D, H, Dh] / [H, Dh, D] kernels. The head
+# packing inside each D block is identical (heads-major, contiguous Dh
+# columns), so checkpoints convert exactly by reshape+concat — restoring a
+# checkpoint saved under the other model.fused_attention setting must not
+# fail (ADVICE r2, medium).
+
+def _is_unfused_attn(node) -> bool:
+    return isinstance(node, dict) and \
+        {"query", "key", "value", "out"} <= set(node) and \
+        isinstance(node.get("query"), dict) and "kernel" in node["query"] \
+        and getattr(node["query"]["kernel"], "ndim", 0) == 3
+
+
+def _is_fused_attn(node) -> bool:
+    return isinstance(node, dict) and set(node) >= {"qkv", "out"} and \
+        isinstance(node.get("qkv"), dict) and "kernel" in node["qkv"]
+
+
+def _fuse_attn(node) -> Dict:
+    import numpy as np
+
+    d = node["query"]["kernel"].shape[0]
+    kern = np.concatenate(
+        [np.asarray(node[k]["kernel"]).reshape(d, -1)
+         for k in ("query", "key", "value")], axis=1)
+    bias = np.concatenate(
+        [np.asarray(node[k]["bias"]).reshape(-1)
+         for k in ("query", "key", "value")])
+    out_k = np.asarray(node["out"]["kernel"]).reshape(-1, d)
+    out_b = np.asarray(node["out"]["bias"]).reshape(-1)
+    return {"qkv": {"kernel": kern, "bias": bias},
+            "out": {"kernel": out_k, "bias": out_b}}
+
+
+def _unfuse_attn(node, target) -> Dict:
+    import numpy as np
+
+    qk = target["query"]["kernel"].shape  # [D, H, Dh]
+    d = qk[0]
+    kern = np.asarray(node["qkv"]["kernel"])
+    bias = np.asarray(node["qkv"]["bias"])
+    parts = {}
+    for i, k in enumerate(("query", "key", "value")):
+        parts[k] = {"kernel": kern[:, i * d:(i + 1) * d].reshape(qk),
+                    "bias": bias[i * d:(i + 1) * d].reshape(qk[1:])}
+    ok = target["out"]["kernel"].shape  # [H, Dh, D]
+    parts["out"] = {"kernel": np.asarray(node["out"]["kernel"]).reshape(ok),
+                    "bias": np.asarray(node["out"]["bias"]).reshape(-1)}
+    return parts
+
+
+def adapt_attention_layout(loaded: Any, target: Any, _count=None):
+    """Walk ``loaded`` and ``target`` in parallel; convert attention nodes
+    between the fused and flax layouts wherever they disagree. Returns
+    (adapted_tree, number_of_converted_blocks)."""
+    top = _count is None
+    count = [0] if top else _count
+    if isinstance(loaded, dict) and isinstance(target, dict):
+        if _is_unfused_attn(loaded) and _is_fused_attn(target):
+            count[0] += 1
+            return (_fuse_attn(loaded), count[0]) if top else _fuse_attn(loaded)
+        if _is_fused_attn(loaded) and _is_unfused_attn(target):
+            count[0] += 1
+            return (_unfuse_attn(loaded, target), count[0]) if top \
+                else _unfuse_attn(loaded, target)
+        out = {k: (adapt_attention_layout(v, target[k], count)
+                   if k in target else v)
+               for k, v in loaded.items()}
+        return (out, count[0]) if top else out
+    return (loaded, count[0]) if top else loaded
+
+
+def _check_same_structure(loaded: Any, target: Any, path: str) -> None:
+    """Clear error when the restored tree still mismatches the model —
+    naming model.fused_attention when an attention node is the culprit."""
+    ld = jax.tree.structure(loaded)
+    tg = jax.tree.structure(target)
+    if ld == tg:
+        return
+    flat_l = {jax.tree_util.keystr(p)
+              for p, _ in jax.tree_util.tree_leaves_with_path(loaded)}
+    flat_t = {jax.tree_util.keystr(p)
+              for p, _ in jax.tree_util.tree_leaves_with_path(target)}
+    diff = sorted(flat_l ^ flat_t)
+    hint = ""
+    if any("attn" in k and ("qkv" in k or "query" in k) for k in diff):
+        hint = (" — the checkpoint and the model disagree on the attention "
+                "param layout; set model.fused_attention to match the run "
+                "that produced the checkpoint")
+    raise ValueError(
+        f"checkpoint {path} does not match the model tree{hint}; "
+        f"first differing leaves: {diff[:6]}")
 
 
 def extract_image_encoder(vlp_params: Dict) -> Dict:
@@ -186,6 +295,11 @@ def graft_backbone(classifier_params: Dict, encoder_subtree: Dict) -> Dict:
     out = dict(classifier_params)
     if "backbone" not in out:
         raise KeyError("classifier params have no 'backbone' subtree")
+    encoder_subtree, n = adapt_attention_layout(encoder_subtree,
+                                                out["backbone"])
+    if n:
+        logger.info("Migrated %d attention block(s) to the classifier's "
+                    "layout during encoder transfer", n)
     _assert_compatible(out["backbone"], encoder_subtree, path="backbone")
     out["backbone"] = encoder_subtree
     return out
