@@ -70,7 +70,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             if f.index == fold:
                 fold_obj = f
                 break
-        init_batch = next(iter(fold_obj.train_loader))
+        # sampler-free init batch: iterating the loader would start the
+        # prefetch thread and advance the shared sampler RNG a timing-
+        # dependent amount (same fix as train/loop.py init)
+        init_batch = fold_obj.train_loader.init_batch()
         # VLP tasks need pretrain-shaped init batches; synthesize text fields.
         init_batch = dict(init_batch)
         init_batch.setdefault("input_ids", jax.numpy.ones(

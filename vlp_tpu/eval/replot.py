@@ -43,7 +43,10 @@ def replot_run(run_dir: str, cfg: Config, mesh) -> List[str]:
         statics = dm.fold_statics(fold)
         task = build_task(cfg, statics)
         fold_obj = next(f for f in dm.folds() if f.index == fold)
-        init_batch = next(iter(fold_obj.train_loader))
+        # sampler-free init batch: iterating the loader would start the
+        # prefetch thread and advance the shared sampler RNG a timing-
+        # dependent amount (same fix as train/loop.py init)
+        init_batch = fold_obj.train_loader.init_batch()
         variables = task.init_variables(jax.random.key(0), init_batch)
         tree = ckpt.restore(best, {
             "params": variables["params"],

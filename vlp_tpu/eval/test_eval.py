@@ -41,7 +41,8 @@ def collect_probs(cfg: Config, checkpoint_path: str, dm: DownstreamData,
     statics = dm.fold_statics(fold)
     task = build_task(cfg, statics)
     loader = dm.test_loader(fold)
-    init_batch = next(iter(loader))
+    # sampler-free init batch (no prefetch-thread RNG advance)
+    init_batch = loader.init_batch()
     variables = task.init_variables(jax.random.key(0), init_batch)
     tree = ckpt.restore(checkpoint_path, {
         "params": variables["params"],

