@@ -41,6 +41,36 @@ def main() -> None:
 
     B = int(os.environ.get("BENCH_BATCH", "128"))
     K = int(os.environ.get("BENCH_STEPS", "10"))
+    # MFU accounting (VERDICT r2 #9): model FLOPs from XLA's cost analysis
+    # of the compiled module; peak from the device (v5e bf16 ~197 TFLOP/s),
+    # overridable for other chips.
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+
+    def module_flops(jitted, *args):
+        """Total FLOPs of one call of a jitted fn, or None when the
+        backend's cost analysis is unavailable."""
+        try:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args)
+            lowered = jitted.lower(*abstract)
+            try:
+                ca = lowered.compile().cost_analysis()
+            except Exception:
+                ca = lowered.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            f = ca.get("flops") if ca else None
+            return float(f) if f and f > 0 else None
+        except Exception:
+            return None
+
+    def eff_fields(entry, flops_per_step, step_s):
+        if flops_per_step:
+            tf = flops_per_step / step_s / 1e12
+            entry["model_tflops_per_step"] = round(flops_per_step / 1e12, 3)
+            entry["achieved_tflops_per_sec"] = round(tf, 1)
+            entry["mfu_pct"] = round(100 * tf / peak_tflops, 1)
+        return entry
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0]),
                "platform": platform.platform(),
@@ -82,6 +112,7 @@ def main() -> None:
             {k: v for k, v in variables.items() if k != "params"},
             tx, jax.random.key(1))
         step = make_scanned_train_step(task, tx, K, mesh=None)
+        flops = module_flops(step, state, bb)  # whole K-step module
         state, aux = step(state, bb)
         float(jax.device_get(aux["loss"][-1]))
         ts = []
@@ -91,9 +122,15 @@ def main() -> None:
             float(jax.device_get(aux["loss"][-1]))
             ts.append(time.perf_counter() - t0)
         ips = B * K / min(ts)
-        results[name] = {"images_per_sec": round(ips, 1),
-                         "step_ms": round(min(ts) / K * 1e3, 2)}
-        print(f"{name}: {ips:.0f} img/s ({min(ts)/K*1e3:.1f} ms/step)",
+        results[name] = eff_fields(
+            {"images_per_sec": round(ips, 1),
+             "step_ms": round(min(ts) / K * 1e3, 2)},
+            flops / K if flops else None, min(ts) / K)
+        extra = ""
+        if "mfu_pct" in results[name]:
+            extra = (f", {results[name]['achieved_tflops_per_sec']} TF/s = "
+                     f"{results[name]['mfu_pct']}% MFU")
+        print(f"{name}: {ips:.0f} img/s ({min(ts)/K*1e3:.1f} ms/step{extra})",
               flush=True)
 
     measure_train("vlp_train", {"task": "vision_language", "model": "resnet34",
@@ -138,6 +175,7 @@ def main() -> None:
         out, _ = jax.lax.scan(body, jnp.float32(0), bb)
         return out
 
+    infer_flops = module_flops(infer_scan, variables, bb)
     out = infer_scan(variables, bb)
     float(jax.device_get(out))
     ts = []
@@ -145,9 +183,10 @@ def main() -> None:
         t0 = time.perf_counter()
         float(jax.device_get(infer_scan(variables, bb)))
         ts.append(time.perf_counter() - t0)
-    results["classifier_infer"] = {
-        "images_per_sec": round(B * K / min(ts), 1),
-        "step_ms": round(min(ts) / K * 1e3, 2)}
+    results["classifier_infer"] = eff_fields(
+        {"images_per_sec": round(B * K / min(ts), 1),
+         "step_ms": round(min(ts) / K * 1e3, 2)},
+        infer_flops / K if infer_flops else None, min(ts) / K)
     print(f"classifier_infer: {B*K/min(ts):.0f} img/s", flush=True)
 
     # augmentation alone
