@@ -97,3 +97,23 @@ def test_sharded_mode_pads_indivisible_rows(mesh8, monkeypatch):
     assert res._corpus is not None and res._corpus.mode == "sharded"
     rb = list(res)
     _assert_batches_equal(_host_batches(_bundle(21), 11, 8, mesh8), rb)
+
+
+def test_one_device_mesh_uses_local_mode(monkeypatch):
+    """A 1-device mesh (the single-chip CLI configuration) keeps the local
+    corpus mode and the unsharded device-assemble path — regression for the
+    NamedSharding(mesh, None) crash."""
+    import jax
+
+    from vlp_tpu.parallel.mesh import create_mesh
+
+    monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "4096")
+    mesh1 = create_mesh(1, devices=jax.devices()[:1])
+    b = _bundle(12)
+    res = DeviceLoader(b, ShuffleBatchSampler(12, 4, seed=13), 4, mesh1)
+    assert res._corpus is not None and res._corpus.mode == "local"
+    rb = list(res)
+    host = DeviceLoader(_bundle(12), ShuffleBatchSampler(12, 4, seed=13), 4,
+                        mesh1)
+    host._corpus = None
+    _assert_batches_equal(list(host), rb)

@@ -93,6 +93,20 @@ class ArrayBundle:
         batch["image_u8"] = self.cache.gather(cidx)
         return batch
 
+    def columns(self) -> Dict[str, np.ndarray]:
+        """Per-sample metadata columns for the device-resident path: these
+        upload ONCE; per batch only sample indices + the pad mask cross the
+        host->device link and everything else gathers on device."""
+        cols = {"label": self.labels, "dataset_id": self.dataset_ids,
+                "cache_idx": self.cache_indices.astype(np.int32)}
+        if self.is_pretrain:
+            cols.update(input_ids=self.token_ids,
+                        attention_mask=self.token_mask,
+                        caption_id=self.caption_ids)
+        else:
+            cols["clinical"] = self.clinical
+        return cols
+
 
 _RESIDENT_LIMIT_MB = "VLP_DEVICE_RESIDENT_MB"  # per-device budget; 0 disables
 
@@ -128,14 +142,16 @@ class ResidentCorpus:
         self.mesh = mesh
         self.axis_name = axis_name
         data = np.asarray(cache.data)
+        take = lambda imgs, idx: jnp.take(imgs, idx, axis=0, mode="clip")
         if mode == "local":
             self.images = jax.device_put(data)
+            self._take_fn1 = self._take_fnk = take
             self._take1 = _gather_images
             self._takek = _gather_images
             return
-        take = lambda imgs, idx: jnp.take(imgs, idx, axis=0, mode="clip")
         if mode == "replicated":
             self.images = jax.device_put(data, NamedSharding(mesh, P()))
+            self._take_fn1 = self._take_fnk = take
             self._take1 = jax.jit(
                 take, out_shardings=NamedSharding(mesh, P(axis_name)))
             self._takek = jax.jit(
@@ -149,8 +165,10 @@ class ResidentCorpus:
                 [data, np.zeros((pad,) + data.shape[1:], data.dtype)])
         self.images = jax.device_put(
             data, NamedSharding(mesh, P(axis_name)))
-        self._take1 = jax.jit(self._sharded_gather([0]))
-        self._takek = jax.jit(self._sharded_gather([None, 0]))
+        self._take_fn1 = self._sharded_gather([0])
+        self._take_fnk = self._sharded_gather([None, 0])
+        self._take1 = jax.jit(self._take_fn1)
+        self._takek = jax.jit(self._take_fnk)
 
     def _sharded_gather(self, idx_dims):
         """shard_map gather over row-sharded images. ``idx_dims``: which
@@ -212,6 +230,19 @@ class ResidentCorpus:
         """[K, B] indices -> [K, B, ...] pixels sharded on dim 1."""
         return self._takek(self.images, self._put_idx(idx))
 
+    def take_callable(self, chunked: bool):
+        """The raw (unjitted) gather callable for composition INSIDE a
+        larger jitted program (the loader's one-dispatch batch assemble)."""
+        return self._take_fnk if chunked else self._take_fn1
+
+    def image_spec(self):
+        """PartitionSpec of the resident image array (None on one device)."""
+        from jax.sharding import PartitionSpec as P
+
+        if self.mode == "local":
+            return None
+        return P(self.axis_name) if self.mode == "sharded" else P()
+
 
 def _resident_images(cache: ImageCache, mesh=None,
                      axis_name: str = "data") -> Optional[ResidentCorpus]:
@@ -254,6 +285,22 @@ class DeviceLoader:
         # row-sharded over a mesh (see ResidentCorpus) — only indices cross
         # the host->device link either way
         self._corpus = _resident_images(bundle.cache, mesh, axis_name)
+        if self._corpus is not None:
+            # metadata columns ride device-resident too: tokens/labels/
+            # clinical are static per split, so the ONE jitted assemble
+            # gathers pixels AND metadata from sample indices — the only
+            # per-batch host->device transfer is idx + mask
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(mesh, P())
+                self._cols_dev = {k: jax.device_put(v, repl)
+                                  for k, v in bundle.columns().items()}
+            else:
+                self._cols_dev = {k: jax.device_put(v)
+                                  for k, v in bundle.columns().items()}
+            self._dev_single = None
+            self._dev_chunk = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -284,14 +331,42 @@ class DeviceLoader:
                     for k, v in host_batch.items()}
         return {k: jax.device_put(v) for k, v in host_batch.items()}
 
+    def _build_dev_assemble(self, chunked: bool):
+        """ONE jitted program per batch/chunk: gather pixels + every
+        metadata column on device from [.., B] sample indices. Inputs per
+        call: idx + mask (tiny); columns and the corpus ride resident."""
+        take = self._corpus.take_callable(chunked)
+
+        def fn(cols, images, idx, mask):
+            out = {k: jnp.take(v, idx, axis=0, mode="clip")
+                   for k, v in cols.items() if k != "cache_idx"}
+            cidx = jnp.take(cols["cache_idx"], idx, axis=0, mode="clip")
+            out["image_u8"] = take(images, cidx)
+            out["mask"] = mask
+            return out
+
+        if self.mesh is None or self._corpus.mode == "local":
+            # single-device (a 1-device mesh keeps the local corpus mode)
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bspec = P(None, self.axis_name) if chunked else P(self.axis_name)
+        data = NamedSharding(self.mesh, bspec)
+        repl = NamedSharding(self.mesh, P())
+        img_sh = NamedSharding(self.mesh, self._corpus.image_spec())
+        cols_sh = {k: repl for k in self._cols_dev}
+        return jax.jit(fn, in_shardings=(cols_sh, img_sh, data, data),
+                       out_shardings=data)
+
     def _make_batch(self, indices) -> Dict:
-        """One device batch: resident path gathers pixels on device."""
+        """One device batch: resident path assembles fully on device."""
         if self._corpus is None:
             return self._put(self.bundle.assemble(indices, self.batch_size))
-        meta, cidx = self.bundle.assemble_meta(indices, self.batch_size)
-        out = self._put(meta)
-        out["image_u8"] = self._corpus.gather(cidx)
-        return out
+        idx, mask = pad_batch_indices(list(indices), self.batch_size)
+        if self._dev_single is None:
+            self._dev_single = self._build_dev_assemble(chunked=False)
+        return self._dev_single(self._cols_dev, self._corpus.images,
+                                np.asarray(idx, np.int32), mask)
 
     @staticmethod
     def _drain(q, stop, make_items):
@@ -362,26 +437,29 @@ class DeviceLoader:
         return {k: jax.device_put(v) for k, v in stacked.items()}
 
     def _make_chunk(self, index_groups: List) -> Dict:
-        """[K, B, ...] chunk; resident path gathers [K, B] rows on device."""
+        """[K, B, ...] chunk; resident path assembles fully on device."""
         if self._corpus is None:
             return self._put_chunk([
                 self.bundle.assemble(ix, self.batch_size)
                 for ix in index_groups])
-        metas, cidxs = zip(*[self.bundle.assemble_meta(ix, self.batch_size)
-                             for ix in index_groups])
-        out = self._put_stacked(
-            {k: np.stack([m[k] for m in metas]) for k in metas[0]})
-        out["image_u8"] = self._corpus.gather_chunk(np.stack(cidxs))
-        return out
+        pairs = [pad_batch_indices(list(ix), self.batch_size)
+                 for ix in index_groups]
+        idx = np.asarray([p[0] for p in pairs], np.int32)    # [K, B]
+        mask = np.stack([p[1] for p in pairs])               # [K, B]
+        if self._dev_chunk is None:
+            self._dev_chunk = self._build_dev_assemble(chunked=True)
+        return self._dev_chunk(self._cols_dev, self._corpus.images, idx,
+                               mask)
 
     def iter_scan_chunks(self, k: int) -> Iterator:
         """Yield ('chunk', [K,B,...] pytree) for every full group of k
         batches and ('single', [B,...] batch) for the ragged tail — the
         scanned train step is compiled once for length k, tail batches reuse
-        the per-step program. Prefetched like __iter__, but the queue holds
-        ONE chunk (a chunk is k whole batches of device memory; one queued +
-        one in flight is already double buffering)."""
-        q: "queue.Queue" = queue.Queue(maxsize=1)
+        the per-step program. Prefetched like __iter__ with a depth-2 chunk
+        queue: on the resident path a queued chunk is only indices + async
+        gather handles (cheap), and depth 2 keeps the device fed across the
+        epoch-end Python gap (VERDICT r2 #3)."""
+        q: "queue.Queue" = queue.Queue(maxsize=2)
         stop = threading.Event()
 
         def items():
