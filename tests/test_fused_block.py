@@ -1,0 +1,128 @@
+"""Half-block megakernels (ops/fused_block.py, VERDICT r2 #4).
+
+ln_attention (LN1+QKV+MHSA+out-proj+residual) and ln_mlp (LN2+MLP+residual)
+under the Pallas interpreter vs the plain path (megakernel=False) on the
+SAME params — tree-compatible by construction — at value level for forward,
+input gradients, and every param gradient; plus mesh sharding and shape
+fallbacks.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlp_tpu.models.vit import EncoderBlock
+from vlp_tpu.ops import fused_block as FB
+from vlp_tpu.ops.kernel_gate import set_kernel_mesh
+from vlp_tpu.parallel.mesh import create_mesh
+
+
+def _x(n=8, s=16, d=32, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal((n, s, d)) * 0.5,
+        jnp.float32)
+
+
+def _blocks(heads=2, mega=True):
+    return EncoderBlock(num_heads=heads, dtype=jnp.float32, megakernel=mega)
+
+
+class TestMegaBlockParity:
+    def test_params_tree_identical_to_fused_path(self, monkeypatch):
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        x = _x()
+        pm = _blocks(mega=True).init(jax.random.key(0), x)
+        monkeypatch.delenv("VLP_PALLAS_INTERPRET")
+        pf = _blocks(mega=False).init(jax.random.key(0), x)
+        assert jax.tree.structure(pm) == jax.tree.structure(pf)
+        for a, b in zip(jax.tree.leaves(pm), jax.tree.leaves(pf)):
+            assert a.shape == b.shape
+
+    def test_forward_and_grads_match_plain_path(self, monkeypatch):
+        x = _x(seed=1)
+        blk_m, blk_p = _blocks(mega=True), _blocks(mega=False)
+        monkeypatch.delenv("VLP_PALLAS_INTERPRET", raising=False)
+        params = blk_p.init(jax.random.key(0), x)
+
+        def loss(blk):
+            return lambda p, x: jnp.sum(jnp.sin(blk.apply(p, x)))
+
+        out_p = blk_p.apply(params, x)
+        gp_p, gx_p = jax.grad(loss(blk_p), (0, 1))(params, x)
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        out_m = blk_m.apply(params, x)
+        gp_m, gx_m = jax.grad(loss(blk_m), (0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_p),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx_m), np.asarray(gx_p),
+                                   atol=5e-5)
+        for (ka, a), (kb, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(gp_m),
+                       key=lambda t: str(t[0])),
+                sorted(jax.tree_util.tree_leaves_with_path(gp_p),
+                       key=lambda t: str(t[0]))):
+            assert str(ka) == str(kb)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                err_msg=str(ka))
+
+    def test_nonuniform_rows_and_scale(self, monkeypatch):
+        """Large-magnitude rows exercise the max-subtracted softmax and the
+        LN variance path."""
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        x = _x(seed=2)
+        x = x.at[:, 0].mul(30.0)
+        blk_m, blk_p = _blocks(mega=True), _blocks(mega=False)
+        params = blk_p.init(jax.random.key(1), x)
+        out_m = blk_m.apply(params, x)
+        monkeypatch.delenv("VLP_PALLAS_INTERPRET")
+        out_p = blk_p.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_p),
+                                   atol=1e-4)
+
+
+class TestMegaBlockMesh:
+    def test_sharded_matches_unsharded(self, monkeypatch):
+        mesh = create_mesh()
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        x = _x(n=16, seed=3)
+        blk = _blocks(mega=True)
+        params = blk.init(jax.random.key(0), x)
+
+        def loss(p, x):
+            return jnp.sum(jnp.tanh(blk.apply(p, x)))
+
+        out_m = blk.apply(params, x)
+        g_m = jax.grad(loss)(params, x)
+        set_kernel_mesh(None)
+        out_1 = blk.apply(params, x)
+        g_1 = jax.grad(loss)(params, x)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_1),
+                                   atol=2e-5)
+        for a, b in zip(jax.tree.leaves(g_m), jax.tree.leaves(g_1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+
+class TestSupportGates:
+    def test_vitb_mlp_exceeds_budget(self):
+        # ViT-B 768x3072 MLP: weights + fp32 accumulators alone > VMEM
+        assert not FB.supports_mlp(256, 768, 3072)
+        assert FB.supports_mlp(512, 384, 1536)  # nest level 2
+
+    def test_attn_supports_nest_shapes(self):
+        assert FB.supports_attn(128, 196, 384, 12)  # nest l2
+        assert FB.supports_attn(2048, 196, 96, 3)   # nest l0 (blocks folded)
+
+    def test_unsupported_shape_raises(self):
+        # d=1024: resident weights + fp32 accumulators exceed the VMEM
+        # budget at any group size
+        d = 1024
+        assert not FB.supports_attn(4, 16, d, 8, 4)
+        x = jnp.zeros((4, 16, d), jnp.float32)
+        set_kernel_mesh(None)
+        with pytest.raises(ValueError, match="supports_attn"):
+            FB.ln_attention(x, jnp.ones(d), jnp.zeros(d),
+                            jnp.zeros((d, 3 * d)), jnp.zeros(3 * d),
+                            jnp.zeros((d, d)), jnp.zeros(d), 8)

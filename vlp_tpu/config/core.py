@@ -54,6 +54,10 @@ class ModelConfig:
     # ViT/NesT Pallas fused block-attention (ops/block_attention.py);
     # None = model default. Changes the attn param-tree structure.
     fused_attention: Optional[bool] = None
+    # Half-block Pallas megakernels for ViT/NesT (ops/fused_block.py):
+    # LN+attention+residual / LN+MLP+residual fused per program. Param-tree
+    # compatible with the fused path; per-shape fallback when unsupported.
+    megakernel: bool = True
     pretrained_ckpt: Optional[str] = None  # VLP checkpoint warm-start path
     freeze_encoder: bool = False
     vision_encoder_lr: Optional[float] = None  # split-LR param group

@@ -72,6 +72,7 @@ class NesT(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None  # unused; API parity with ResNet
     fused_attention: bool = True  # Pallas fused attention (block_attention.py)
+    megakernel: bool = True  # half-block megakernels (fused_block.py)
 
     def setup(self):
         self.patch_embed = nn.Conv(
@@ -92,6 +93,7 @@ class NesT(nn.Module):
             levels.append([
                 EncoderBlock(heads, 4.0, self.dtype,
                              fused_attention=self.fused_attention,
+                             megakernel=self.megakernel,
                              name=f"l{li}_block{d}")
                 for d in range(depth)])
             if li < len(self.embed_dims) - 1:

@@ -25,7 +25,8 @@ def create_backbone(name: str, num_classes: int = 0,
                     dropout_rate: float = 0.0,
                     norm_dtype: jnp.dtype = jnp.float32,
                     stem: str = "conv7",
-                    fused_attention: Optional[bool] = None):
+                    fused_attention: Optional[bool] = None,
+                    megakernel: bool = True):
     """Returns (module, feature_dim). ``num_classes=0`` => features only.
 
     ``fused_attention``: Pallas fused block-attention for ViT/NesT
@@ -39,8 +40,10 @@ def create_backbone(name: str, num_classes: int = 0,
     if name.startswith("resnet"):
         kw["norm_dtype"] = norm_dtype
         kw["stem"] = stem
-    elif fused_attention is not None:
-        kw["fused_attention"] = fused_attention
+    else:
+        kw["megakernel"] = megakernel
+        if fused_attention is not None:
+            kw["fused_attention"] = fused_attention
     if name == "resnet18":
         m = resnet.resnet18(**kw)
     elif name == "resnet_micro":

@@ -44,12 +44,14 @@ class OnlyImagingModel(nn.Module):
     axis_name: Optional[str] = None
     stem: str = "conv7"
     fused_attention: Optional[bool] = None  # ViT/NesT Pallas attention
+    megakernel: bool = True  # half-block megakernels (fused_block.py)
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
             axis_name=self.axis_name, norm_dtype=self.norm_dtype,
-            stem=self.stem, fused_attention=self.fused_attention)
+            stem=self.stem, fused_attention=self.fused_attention,
+            megakernel=self.megakernel)
         self.head = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                              name="head")
 
@@ -68,12 +70,14 @@ class FusionModel(nn.Module):
     axis_name: Optional[str] = None
     stem: str = "conv7"
     fused_attention: Optional[bool] = None  # ViT/NesT Pallas attention
+    megakernel: bool = True  # half-block megakernels (fused_block.py)
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
             axis_name=self.axis_name, norm_dtype=self.norm_dtype,
-            stem=self.stem, fused_attention=self.fused_attention)
+            stem=self.stem, fused_attention=self.fused_attention,
+            megakernel=self.megakernel)
         self.image_head = nn.Dense(10, dtype=jnp.float32,
                                    param_dtype=jnp.float32, name="image_head")
         self.clinical_mlp = ClinicalMLP(name="clinical_mlp")
@@ -145,7 +149,8 @@ class OnlyImagingTask(BaseTask):
                                       dtype=self.dtype, norm_dtype=norm_dtype,
                                       axis_name=axis_name,
                                       stem=cfg.model.stem,
-                                      fused_attention=cfg.model.fused_attention)
+                                      fused_attention=cfg.model.fused_attention,
+                                      megakernel=cfg.model.megakernel)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -202,7 +207,8 @@ class FusionTask(BaseTask):
         self.model = FusionModel(backbone_name=cfg.model.model,
                                  dtype=self.dtype, norm_dtype=norm_dtype,
                                  axis_name=axis_name, stem=cfg.model.stem,
-                                 fused_attention=cfg.model.fused_attention)
+                                 fused_attention=cfg.model.fused_attention,
+                                      megakernel=cfg.model.megakernel)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -268,7 +274,8 @@ class VisionLanguageTask(BaseTask):
             logit_scale_init=cfg.model.logit_scale_init,
             dtype=self.dtype, norm_dtype=norm_dtype, axis_name=axis_name,
             stem=cfg.model.stem,
-            fused_attention=cfg.model.fused_attention)
+            fused_attention=cfg.model.fused_attention,
+                                      megakernel=cfg.model.megakernel)
         self.scale_max = float(cfg.model.logit_scale_max)
         self.loss_variant = cfg.model.loss_variant
         self.statics = statics

@@ -102,6 +102,45 @@ class FusedSelfAttention(nn.Module):
                         name="out")(o)
 
 
+class _LnParams(nn.Module):
+    """LayerNorm params under the same tree path as nn.LayerNorm."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,),
+                       jnp.float32)
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    """qkv/out projection params under FusedSelfAttention's tree paths."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        wo, bo = _DenseParams(self.dim, self.dim, name="out")()
+        return wq, bq, wo, bo
+
+
+class _MlpParams(nn.Module):
+    """fc1/fc2 params under MlpBlock's tree paths."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class EncoderBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
@@ -111,25 +150,61 @@ class EncoderBlock(nn.Module):
     # Changes the attn param structure (see FusedSelfAttention). Default ON:
     # measured +21% nest_small and +22% vit_base train throughput on v5e.
     fused_attention: bool = True
+    # Half-block megakernels (ops/fused_block.py): LN1+QKV+attention+out-
+    # proj+residual in ONE program, LN2+MLP+residual in another — the
+    # activation touches HBM once per half-block per direction. Param tree
+    # identical to the fused path; engages per shape via supports_*().
+    megakernel: bool = True
 
     @nn.compact
     def __call__(self, x):
+        from vlp_tpu.ops import fused_block as FB
+        from vlp_tpu.ops.kernel_gate import active_kernel_mesh, mosaic_ok
+
         d = x.shape[-1]
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x.astype(jnp.float32))
-        y = y.astype(self.dtype)
-        if self.fused_attention:
-            y = FusedSelfAttention(self.num_heads, self.dtype,
-                                   name="attn")(y)
+        lead = x.shape[:-1]
+        n, s = x.shape[0], math.prod(x.shape[1:-1])
+        mesh, _ = active_kernel_mesh()
+        shards = mesh.size if mesh is not None else 1
+        itemsize = jnp.dtype(self.dtype).itemsize
+        kernels_on = mosaic_ok() or FB._use_interpret()
+        mega_attn = (self.megakernel and self.fused_attention and kernels_on
+                     and x.ndim == 3 and n % shards == 0
+                     and FB.supports_attn(n // shards, s, d, self.num_heads,
+                                          itemsize))
+        hidden = int(d * self.mlp_ratio)
+        m = n * s
+        mega_mlp = (self.megakernel and self.fused_attention and kernels_on
+                    and m % shards == 0
+                    and FB.supports_mlp(m // shards, d, hidden, itemsize))
+
+        if mega_attn:
+            gamma, beta = _LnParams(d, name="ln1")()
+            wq, bq, wo, bo = _AttnParams(d, name="attn")()
+            x = FB.ln_attention(x.astype(self.dtype), gamma, beta, wq, bq,
+                                wo, bo, self.num_heads)
         else:
-            y = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads, dtype=self.dtype,
-                param_dtype=jnp.float32, name="attn")(y)
-        x = x + y
+            y = nn.LayerNorm(dtype=jnp.float32,
+                             name="ln1")(x.astype(jnp.float32))
+            y = y.astype(self.dtype)
+            if self.fused_attention:
+                y = FusedSelfAttention(self.num_heads, self.dtype,
+                                       name="attn")(y)
+            else:
+                y = nn.MultiHeadDotProductAttention(
+                    num_heads=self.num_heads, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="attn")(y)
+            x = x + y
+        if mega_mlp:
+            gamma2, beta2 = _LnParams(d, name="ln2")()
+            w1, b1, w2, b2 = _MlpParams(d, hidden, name="mlp")()
+            y = FB.ln_mlp(x.reshape(m, d).astype(self.dtype), gamma2, beta2,
+                          w1, b1, w2, b2)
+            return y.reshape(*lead, d)
         y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x.astype(jnp.float32))
         # fused MLP is checkpoint-compatible with the unfused path and so
         # stays on regardless of the attention choice
-        y = MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype,
-                     name="mlp")(y.astype(self.dtype))
+        y = MlpBlock(hidden, dtype=self.dtype, name="mlp")(y.astype(self.dtype))
         return x + y
 
 
@@ -144,6 +219,7 @@ class ViT(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None  # unused (no BN); kept for API parity
     fused_attention: bool = True  # Pallas fused attention (block_attention.py)
+    megakernel: bool = True  # half-block megakernels (fused_block.py)
 
     def setup(self):
         self.patch_embed = nn.Conv(
@@ -161,6 +237,7 @@ class ViT(nn.Module):
         self.encoder_blocks = [
             EncoderBlock(self.num_heads, self.mlp_ratio, self.dtype,
                          fused_attention=self.fused_attention,
+                         megakernel=self.megakernel,
                          name=f"block{i}") for i in range(self.depth)]
         self.final_ln = nn.LayerNorm(dtype=jnp.float32, name="final_ln")
         if self.num_classes > 0:

@@ -33,13 +33,15 @@ class VisionLanguageModel(nn.Module):
     axis_name: Optional[str] = None
     stem: str = "conv7"
     fused_attention: Optional[bool] = None  # ViT/NesT Pallas attention
+    megakernel: bool = True  # half-block megakernels (fused_block.py)
 
     def setup(self):
         self.image_encoder, self.image_dim = create_backbone(
             self.image_model, num_classes=0, dtype=self.dtype,
             axis_name=self.axis_name, dropout_rate=self.image_dropout,
             norm_dtype=self.norm_dtype, stem=self.stem,
-            fused_attention=self.fused_attention)
+            fused_attention=self.fused_attention,
+            megakernel=self.megakernel)
         text_cfg = TEXT_CONFIGS[self.text_model]
         self.text_encoder = BertEncoder(text_cfg, dtype=self.dtype,
                                         name="text_encoder")

@@ -1,0 +1,476 @@
+"""Pallas TPU megakernels: whole encoder half-blocks in single programs.
+
+VERDICT r2 #4 / DESIGN.md §4b: after the fused attention + MLP kernels the
+NesT step remains HBM-bound on the glue between them — fp32 LayerNorm round
+trips, projection reads/writes, residual adds. These two kernels fuse each
+half of the (pre-LN) transformer block so the activation touches HBM once
+per half-block in each direction:
+
+  ln_attention: y = x + OutProj(MHSA(LN1(x)))     [N, S, D]
+  ln_mlp:       y = x + fc2(gelu(fc1(LN2(x))))    [M, D] rows
+
+Both carry custom VJPs that RECOMPUTE everything on-chip (flash-style): the
+only HBM tensors are x, y and their gradients, plus the (small) weight-grad
+accumulators riding grid-constant output blocks accumulated in fp32 across a
+sequential grid.
+
+Attention math matches ops/block_attention.py (same packed-qkv layout, same
+deferred normalization); MLP math matches ops/fused_mlp.py (exact-erf GELU);
+LN matches nn.LayerNorm(use_fast_variance) semantics in fp32. Reference
+semantics: timm NesT/ViT pre-LN blocks (reference OnlyImagingModule.py:25-32
+model list).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vlp_tpu.ops.fused_mlp import _gelu, _gelu_grad
+
+_EPS = 1e-6
+
+
+# -- shared LN helpers (fp32, rowwise over the minor dim) -------------------
+
+def _ln_fwd(x32):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _EPS)
+    return xc * inv, inv  # x_hat, inv_sigma
+
+
+def _ln_bwd_dx(dxh, xh, inv):
+    # dx = inv * (dxh - mean(dxh) - xh * mean(dxh * xh))
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xh, axis=-1, keepdims=True)
+    return inv * (dxh - m1 - xh * m2)
+
+
+# ==========================================================================
+# ln_attention: y = x + OutProj(MHSA(LN(x)))
+# ==========================================================================
+
+def _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype):
+    """Per-head softmax attention on packed [S, 3D] bf16; returns [S, D]."""
+    d = num_heads * head_dim
+    outs = []
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = qkv[:, lo:lo + head_dim]
+        k = qkv[:, d + lo:d + lo + head_dim]
+        v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(dtype), v,
+                    preferred_element_type=jnp.float32) / l
+        outs.append(o.astype(dtype))
+    return jnp.concatenate(outs, axis=-1)  # [S, D]
+
+
+def _lnattn_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                       bout_ref, y_ref, *, num_heads, head_dim, scale):
+    dtype = x_ref.dtype
+    for i in range(x_ref.shape[0]):
+        x = x_ref[i].astype(jnp.float32)            # [S, D]
+        xh, _ = _ln_fwd(x)
+        ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
+        qkv = (jnp.dot(ln, wqkv_ref[...],
+                       preferred_element_type=jnp.float32)
+               + bqkv_ref[...]).astype(dtype)       # [S, 3D]
+        o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
+        y = jnp.dot(o, wout_ref[...],
+                    preferred_element_type=jnp.float32) + bout_ref[...]
+        y_ref[i] = (x + y).astype(dtype)
+
+
+def _lnattn_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                       dout_ref,
+                       dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref,
+                       dwout_ref, dbout_ref, *, num_heads, head_dim, scale):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+
+    dtype = x_ref.dtype
+    for i in range(x_ref.shape[0]):
+        x = x_ref[i].astype(jnp.float32)
+        xh, inv = _ln_fwd(x)
+        ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
+        qkv = (jnp.dot(ln, wqkv_ref[...],
+                       preferred_element_type=jnp.float32)
+               + bqkv_ref[...]).astype(dtype)
+        dy = dout_ref[i].astype(jnp.float32)        # residual pass-through
+        dyb = dy.astype(dtype)
+        # do needs only dy and Wout — compute it FIRST so one per-head pass
+        # yields both o_h (for dWout) and dq/dk/dv from a SINGLE softmax
+        # recompute (a second scores+exp pass measured ~10% of step time)
+        do = jax.lax.dot_general(dyb, wout_ref[...],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d = num_heads * head_dim
+        outs, dqs, dks, dvs = [], [], [], []
+        for h in range(num_heads):
+            lo = h * head_dim
+            q = qkv[:, lo:lo + head_dim]
+            k = qkv[:, d + lo:d + lo + head_dim]
+            v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
+            doh = do[:, lo:lo + head_dim].astype(dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            inv_l = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            pb = p.astype(dtype)
+            o_h = jnp.dot(pb, v, preferred_element_type=jnp.float32) * inv_l
+            outs.append(o_h.astype(dtype))
+            dov = (doh.astype(jnp.float32) * inv_l).astype(dtype)
+            dv = jax.lax.dot_general(pb, dov, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(doh, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            t = p * dp
+            c = jnp.sum(t, axis=-1, keepdims=True) * inv_l
+            ds = (t - p * c) * inv_l
+            dsb = ds.astype(dtype)
+            dqs.append(jnp.dot(dsb, k,
+                               preferred_element_type=jnp.float32) * scale)
+            dks.append(jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+            dvs.append(dv)
+        o = jnp.concatenate(outs, axis=-1)
+        dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+        dwout_ref[...] += jax.lax.dot_general(
+            o, dyb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbout_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+        dqkvb = dqkv.astype(dtype)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            ln, dqkvb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+        dln = jax.lax.dot_general(dqkvb, wqkv_ref[...],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
+        db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
+        dxh = dln * g_ref[...]
+        dx_ref[i] = (dy + _ln_bwd_dx(dxh, xh, inv)).astype(dtype)
+
+
+def _attn_group(n: int, s: int, d: int, heads: int, itemsize: int) -> int:
+    """Samples per grid program for the attention half-block backward:
+    resident weights + fp32 accumulators + per-sample working set must fit
+    scoped VMEM (double-buffered x/dx/dout blocks)."""
+    budget = 11 * 1024 * 1024
+    weights = 4 * d * d * itemsize + 4 * d * d * 4  # wqkv+wout (+f32 accum)
+    # per-sample: x/xh f32 (2*4), ln/qkv/o bf16 (~5*itemsize), scores f32
+    # one head at a time (s*s*4, x2 fwd+bwd scratch), dqkv f32 (3*4)
+    per = s * d * (2 * 4 + 5 * itemsize + 3 * 4) + 2 * s * s * 4
+    for g in (8, 4, 2, 1):
+        if n % g == 0 and weights + 2 * g * per <= budget:
+            return g
+    return 0
+
+
+def _const(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _row3(g, s, w):
+    return pl.BlockSpec((g, s, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _lnattn(x, gamma, beta, wqkv, bqkv, wout, bout, num_heads: int,
+            interpret: bool):
+    return _lnattn_fwd(x, gamma, beta, wqkv, bqkv, wout, bout, num_heads,
+                       interpret)[0]
+
+
+def _lnattn_fwd(x, gamma, beta, wqkv, bqkv, wout, bout, num_heads,
+                interpret):
+    n, s, d = x.shape
+    head_dim = d // num_heads
+    g = _attn_group(n, s, d, num_heads, x.dtype.itemsize)
+    if g == 0:
+        raise ValueError(
+            f"ln_attention unsupported for N={n}, S={s}, D={d} — guard "
+            "calls with supports_attn()")
+    kernel = functools.partial(_lnattn_fwd_kernel, num_heads=num_heads,
+                               head_dim=head_dim, scale=head_dim ** -0.5)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n // g,),
+        in_specs=[_row3(g, s, d), _const((1, d)), _const((1, d)),
+                  _const((d, 3 * d)), _const((1, 3 * d)),
+                  _const((d, d)), _const((1, d))],
+        out_specs=_row3(g, s, d),
+        out_shape=jax.ShapeDtypeStruct((n, s, d), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * s * (4 * d * d + 2 * s * d),
+            bytes_accessed=2 * n * s * d * x.dtype.itemsize,
+            transcendentals=n * num_heads * s * s),
+    )(x, gamma, beta, wqkv, bqkv, wout, bout)
+    return y, (x, gamma, beta, wqkv, bqkv, wout)
+
+
+def _lnattn_bwd(num_heads, interpret, res, dout):
+    x, gamma, beta, wqkv, bqkv, wout = res
+    n, s, d = x.shape
+    head_dim = d // num_heads
+    g = _attn_group(n, s, d, num_heads, x.dtype.itemsize)
+    kernel = functools.partial(_lnattn_bwd_kernel, num_heads=num_heads,
+                               head_dim=head_dim, scale=head_dim ** -0.5)
+    f32 = jnp.float32
+    dx, dg, db, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
+        kernel,
+        grid=(n // g,),
+        in_specs=[_row3(g, s, d), _const((1, d)), _const((1, d)),
+                  _const((d, 3 * d)), _const((1, 3 * d)), _const((d, d)),
+                  _row3(g, s, d)],
+        out_specs=(_row3(g, s, d), _const((1, d)), _const((1, d)),
+                   _const((d, 3 * d)), _const((1, 3 * d)),
+                   _const((d, d)), _const((1, d))),
+        out_shape=(jax.ShapeDtypeStruct((n, s, d), x.dtype),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, 3 * d), f32),
+                   jax.ShapeDtypeStruct((1, 3 * d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * s * (4 * d * d + 2 * s * d),
+            bytes_accessed=3 * n * s * d * x.dtype.itemsize,
+            transcendentals=n * num_heads * s * s),
+    )(x, gamma, beta, wqkv, bqkv, wout, dout)
+    # cotangent dtypes match the _lnattn primal inputs (weights in the
+    # compute dtype, gamma/beta/biases f32 [1, .]); caller-side cast VJPs
+    # restore the original param forms
+    return (dx, dg, db, dwqkv.astype(wqkv.dtype), dbqkv,
+            dwout.astype(wout.dtype), dbout)
+
+
+_lnattn.defvjp(_lnattn_fwd, _lnattn_bwd)
+
+
+# ==========================================================================
+# ln_mlp: y = x + fc2(gelu(fc1(LN(x)))) over [M, D] rows
+# ==========================================================================
+
+def _lnmlp_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      y_ref):
+    x = x_ref[...].astype(jnp.float32)
+    xh, _ = _ln_fwd(x)
+    ln = (xh * g_ref[...] + b_ref[...]).astype(x_ref.dtype)
+    z = jnp.dot(ln, w1_ref[...],
+                preferred_element_type=jnp.float32) + b1_ref[...]
+    h = _gelu(z).astype(x_ref.dtype)
+    y = jnp.dot(h, w2_ref[...],
+                preferred_element_type=jnp.float32) + b2_ref[...]
+    y_ref[...] = (x + y).astype(y_ref.dtype)
+
+
+def _lnmlp_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, dout_ref,
+                      dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
+                      db2_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    dtype = x_ref.dtype
+    x = x_ref[...].astype(jnp.float32)
+    xh, inv = _ln_fwd(x)
+    ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
+    z = jnp.dot(ln, w1_ref[...],
+                preferred_element_type=jnp.float32) + b1_ref[...]
+    h = _gelu(z).astype(dtype)
+    dy = dout_ref[...].astype(jnp.float32)
+    dyb = dy.astype(dtype)
+    dw2_ref[...] += jax.lax.dot_general(
+        h, dyb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dh32 = jax.lax.dot_general(
+        dyb, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * _gelu_grad(z)
+    dh = dh32.astype(dtype)
+    dw1_ref[...] += jax.lax.dot_general(
+        ln, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(dh32, axis=0, keepdims=True)
+    dln = jax.lax.dot_general(
+        dh, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
+    dxh = dln * g_ref[...]
+    dx_ref[...] = (dy + _ln_bwd_dx(dxh, xh, inv)).astype(dx_ref.dtype)
+
+
+def _mlp_tile(m: int, d: int, f: int, itemsize: int) -> int:
+    """Row tile for the MLP half-block backward under the VMEM budget."""
+    budget = 11 * 1024 * 1024
+    resident = 2 * d * f * itemsize + 2 * d * f * 4
+    # per row: x/xh/dy f32 (3*4*d), ln/dx bf16, z f32 + h bf16 (f cols)
+    per_row = d * (3 * 4 + 2 * itemsize) + f * (4 + itemsize)
+    for tm in (512, 256, 128, 64):
+        if m % tm == 0 and resident + 2 * tm * per_row <= budget:
+            return tm
+    return 0
+
+
+def _row2(tm, d):
+    return pl.BlockSpec((tm, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _lnmlp(x, gamma, beta, w1, b1, w2, b2, interpret: bool):
+    return _lnmlp_fwd(x, gamma, beta, w1, b1, w2, b2, interpret)[0]
+
+
+def _lnmlp_fwd(x, gamma, beta, w1, b1, w2, b2, interpret):
+    m, d = x.shape
+    f = w1.shape[1]
+    tm = _mlp_tile(m, d, f, x.dtype.itemsize)
+    if tm == 0:
+        raise ValueError(
+            f"ln_mlp unsupported for M={m}, D={d}, F={f} — guard calls "
+            "with supports_mlp()")
+    y = pl.pallas_call(
+        _lnmlp_fwd_kernel,
+        grid=(m // tm,),
+        in_specs=[_row2(tm, d), _const((1, d)), _const((1, d)),
+                  _const((d, f)), _const((1, f)), _const((f, d)),
+                  _const((1, d))],
+        out_specs=_row2(tm, d),
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * f,
+            bytes_accessed=2 * m * d * x.dtype.itemsize,
+            transcendentals=m * f),
+    )(x, gamma, beta, w1, b1, w2, b2)
+    return y, (x, gamma, beta, w1, b1, w2)
+
+
+def _lnmlp_bwd(interpret, res, dout):
+    x, gamma, beta, w1, b1, w2 = res
+    m, d = x.shape
+    f = w1.shape[1]
+    tm = _mlp_tile(m, d, f, x.dtype.itemsize)
+    f32 = jnp.float32
+    dx, dg, db, dw1, db1, dw2, db2 = pl.pallas_call(
+        _lnmlp_bwd_kernel,
+        grid=(m // tm,),
+        in_specs=[_row2(tm, d), _const((1, d)), _const((1, d)),
+                  _const((d, f)), _const((1, f)), _const((f, d)),
+                  _row2(tm, d)],
+        out_specs=(_row2(tm, d), _const((1, d)), _const((1, d)),
+                   _const((d, f)), _const((1, f)), _const((f, d)),
+                   _const((1, d))),
+        out_shape=(jax.ShapeDtypeStruct((m, d), x.dtype),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, f), f32),
+                   jax.ShapeDtypeStruct((1, f), f32),
+                   jax.ShapeDtypeStruct((f, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * m * d * f,
+            bytes_accessed=3 * m * d * x.dtype.itemsize,
+            transcendentals=m * f),
+    )(x, gamma, beta, w1, b1, w2, dout)
+    return (dx, dg, db, dw1.astype(w1.dtype), db1,
+            dw2.astype(w2.dtype), db2)
+
+
+_lnmlp.defvjp(_lnmlp_fwd, _lnmlp_bwd)
+
+
+# -- public API -------------------------------------------------------------
+
+def _use_interpret() -> bool:
+    import os
+
+    return os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
+
+
+def supports_attn(n: int, s: int, d: int, num_heads: int,
+                  itemsize: int = 2) -> bool:
+    """``n`` must be the per-shard batch under a multi-device mesh."""
+    return d % num_heads == 0 and \
+        _attn_group(n, s, d, num_heads, itemsize) > 0
+
+
+def supports_mlp(m: int, d: int, f: int, itemsize: int = 2) -> bool:
+    return _mlp_tile(m, d, f, itemsize) > 0
+
+
+def ln_attention(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                 wqkv: jax.Array, bqkv: jax.Array, wout: jax.Array,
+                 bout: jax.Array, num_heads: int) -> jax.Array:
+    """y = x + OutProj(MHSA(LN(x))) over x [N, S, D]; single fused program
+    per sample group, shard_map-wrapped under a multi-device mesh."""
+    from vlp_tpu.ops.kernel_gate import shard_wrap
+
+    interpret = _use_interpret()
+    dt = x.dtype
+    f32 = jnp.float32
+    call = shard_wrap(
+        lambda *a: _lnattn(*a, num_heads, interpret), x.shape[0],
+        in_batched=(True,) + (False,) * 6, out_batched=True)
+    if call is None:
+        raise ValueError("ln_attention: batch does not divide the mesh — "
+                         "guard with supports_attn() on the local shape")
+    return call(x, gamma.reshape(1, -1).astype(f32),
+                beta.reshape(1, -1).astype(f32), wqkv.astype(dt),
+                bqkv.reshape(1, -1).astype(f32), wout.astype(dt),
+                bout.reshape(1, -1).astype(f32))
+
+
+def ln_mlp(x: jax.Array, gamma: jax.Array, beta: jax.Array, w1: jax.Array,
+           b1: jax.Array, w2: jax.Array, b2: jax.Array) -> jax.Array:
+    """y = x + fc2(gelu(fc1(LN(x)))) over x [M, D] rows (LN is rowwise, so
+    [N, S, D] callers flatten); shard_map-wrapped under a mesh."""
+    from vlp_tpu.ops.kernel_gate import shard_wrap
+
+    interpret = _use_interpret()
+    dt = x.dtype
+    f32 = jnp.float32
+    call = shard_wrap(
+        lambda *a: _lnmlp(*a, interpret), x.shape[0],
+        in_batched=(True,) + (False,) * 6, out_batched=True)
+    if call is None:
+        raise ValueError("ln_mlp: rows do not divide the mesh — guard with "
+                         "supports_mlp() on the local shape")
+    return call(x, gamma.reshape(1, -1).astype(f32),
+                beta.reshape(1, -1).astype(f32), w1.astype(dt),
+                b1.reshape(1, -1).astype(f32), w2.astype(dt),
+                b2.reshape(1, -1).astype(f32))
