@@ -11,9 +11,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Sequential CPU runtime: the thunk executor's work-stealing order on
+# INDEPENDENT collectives differs per device thread and can deadlock the
+# cross-device rendezvous (hard 40s abort — seen on GSPMD FSDP all-gathers
+# in the dryrun). Determinism matters more than intra-op parallelism on
+# this 1-core host.
+if "xla_cpu_use_thunk_runtime" not in flags:
+    flags = (flags + " --xla_cpu_use_thunk_runtime=false").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compile cache (single-core host: compiles dominate cold starts),
 # scoped by a host-CPU fingerprint: XLA:CPU AOT entries compiled on a machine

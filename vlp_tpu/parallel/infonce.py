@@ -36,9 +36,13 @@ def _local_infonce(img: jax.Array, txt: jax.Array, scale: jax.Array,
     my = jax.lax.axis_index(axis_name)
     img_n = l2_normalize(img.astype(jnp.float32))
     txt_n = l2_normalize(txt.astype(jnp.float32))
-    txt_all = jax.lax.all_gather(txt_n, axis_name, tiled=True)  # [B_g, E]
-    img_all = jax.lax.all_gather(img_n, axis_name, tiled=True)
-    mask_all = jax.lax.all_gather(mask, axis_name, tiled=True)  # [B_g]
+    # ONE all_gather bind for all three operands: independent collectives
+    # in a shard_map body have no mutual ordering on the XLA:CPU thunk
+    # executor — device threads picking different orders deadlock the
+    # rendezvous (observed on the CPU-8 dryrun). A single bind is also one
+    # fewer collective on real ICI.
+    txt_all, img_all, mask_all = jax.lax.all_gather(
+        (txt_n, img_n, mask), axis_name, tiled=True)  # [B_g, E] x2, [B_g]
 
     labels = my * b_local + jnp.arange(b_local)  # global diag indices
 
@@ -52,8 +56,8 @@ def _local_infonce(img: jax.Array, txt: jax.Array, scale: jax.Array,
     # image->text on local image rows; text->image on local text rows
     loss_i = row_ce(img_n, txt_all)
     loss_t = row_ce(txt_n, img_all)
-    total = jax.lax.psum(loss_i + loss_t, axis_name)
-    count = jax.lax.psum(mask.sum(), axis_name)
+    # single psum bind (same collective-ordering hazard as above)
+    total, count = jax.lax.psum((loss_i + loss_t, mask.sum()), axis_name)
     return total / (2.0 * jnp.maximum(count, 1.0))
 
 
