@@ -75,6 +75,40 @@ def _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype):
     return jnp.concatenate(outs, axis=-1)  # [S, D]
 
 
+def _attn_heads_bwd(qkv, do, num_heads, head_dim, scale, dtype):
+    """Gradient wrt packed qkv given do [S, D] f32; returns [S, 3D] f32."""
+    d = num_heads * head_dim
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = qkv[:, lo:lo + head_dim]
+        k = qkv[:, d + lo:d + lo + head_dim]
+        v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
+        doh = do[:, lo:lo + head_dim].astype(dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        inv_l = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(dtype)
+        dov = (doh.astype(jnp.float32) * inv_l).astype(dtype)
+        dv = jax.lax.dot_general(pb, dov, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(doh, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        t = p * dp
+        c = jnp.sum(t, axis=-1, keepdims=True) * inv_l
+        ds = (t - p * c) * inv_l
+        dsb = ds.astype(dtype)
+        dqs.append(jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+                   * scale)
+        dks.append(jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+        dvs.append(dv)
+    return jnp.concatenate(dqs + dks + dvs, axis=-1)  # [S, 3D] f32
+
+
 def _lnattn_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                        bout_ref, y_ref, *, num_heads, head_dim, scale):
     dtype = x_ref.dtype
@@ -112,52 +146,22 @@ def _lnattn_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         qkv = (jnp.dot(ln, wqkv_ref[...],
                        preferred_element_type=jnp.float32)
                + bqkv_ref[...]).astype(dtype)
+        # TWO separate head passes (o for dWout, then dqkv), each with its
+        # own softmax recompute. A unified single-recompute loop holding
+        # o_h + dq/dk/dv lists live across heads measured 1.7% SLOWER on
+        # v5e (862 vs 878 img/s nest_small) — the longer VMEM live ranges
+        # cost more than the extra scores+exp pass saves.
+        o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
         dy = dout_ref[i].astype(jnp.float32)        # residual pass-through
         dyb = dy.astype(dtype)
-        # do needs only dy and Wout — compute it FIRST so one per-head pass
-        # yields both o_h (for dWout) and dq/dk/dv from a SINGLE softmax
-        # recompute (a second scores+exp pass measured ~10% of step time)
-        do = jax.lax.dot_general(dyb, wout_ref[...],
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        d = num_heads * head_dim
-        outs, dqs, dks, dvs = [], [], [], []
-        for h in range(num_heads):
-            lo = h * head_dim
-            q = qkv[:, lo:lo + head_dim]
-            k = qkv[:, d + lo:d + lo + head_dim]
-            v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
-            doh = do[:, lo:lo + head_dim].astype(dtype)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            inv_l = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
-            pb = p.astype(dtype)
-            o_h = jnp.dot(pb, v, preferred_element_type=jnp.float32) * inv_l
-            outs.append(o_h.astype(dtype))
-            dov = (doh.astype(jnp.float32) * inv_l).astype(dtype)
-            dv = jax.lax.dot_general(pb, dov, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(doh, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            t = p * dp
-            c = jnp.sum(t, axis=-1, keepdims=True) * inv_l
-            ds = (t - p * c) * inv_l
-            dsb = ds.astype(dtype)
-            dqs.append(jnp.dot(dsb, k,
-                               preferred_element_type=jnp.float32) * scale)
-            dks.append(jax.lax.dot_general(
-                dsb, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale)
-            dvs.append(dv)
-        o = jnp.concatenate(outs, axis=-1)
-        dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
         dwout_ref[...] += jax.lax.dot_general(
             o, dyb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dbout_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+        do = jax.lax.dot_general(dyb, wout_ref[...],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqkv = _attn_heads_bwd(qkv, do, num_heads, head_dim, scale, dtype)
         dqkvb = dqkv.astype(dtype)
         dwqkv_ref[...] += jax.lax.dot_general(
             ln, dqkvb, (((0,), (0,)), ((), ())),
@@ -173,16 +177,23 @@ def _lnattn_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
 
 
 def _attn_group(n: int, s: int, d: int, heads: int, itemsize: int) -> int:
-    """Samples per grid program for the attention half-block backward:
-    resident weights + fp32 accumulators + per-sample working set must fit
-    scoped VMEM (double-buffered x/dx/dout blocks)."""
-    budget = 11 * 1024 * 1024
+    """Samples per grid program for the attention half-block backward.
+
+    Only the x/dout/dx row blocks are double-buffered by the pipeline; the
+    per-sample scratch (LN fp32 copies, qkv, one head's scores, dqkv) is
+    single-instanced, and the unrolled g/head loops reuse it. Larger
+    groups COMPILE fine up to ~13 MB but measured no faster (the kernels
+    are MXU/VPU-bound, not program-overhead-bound — v5e sweep: g=8/4/2 at
+    857 img/s vs g=4/2/1 at 878 on nest_small); the default budget keeps
+    the measured-best grouping."""
+    import os
+
+    budget = int(float(os.environ.get("VLP_MEGA_ATTN_MB", "7")) * 2 ** 20)
     weights = 4 * d * d * itemsize + 4 * d * d * 4  # wqkv+wout (+f32 accum)
-    # per-sample: x/xh f32 (2*4), ln/qkv/o bf16 (~5*itemsize), scores f32
-    # one head at a time (s*s*4, x2 fwd+bwd scratch), dqkv f32 (3*4)
-    per = s * d * (2 * 4 + 5 * itemsize + 3 * 4) + 2 * s * s * 4
-    for g in (8, 4, 2, 1):
-        if n % g == 0 and weights + 2 * g * per <= budget:
+    blocks = 2 * 3 * s * d * itemsize               # x/dout/dx, dbl-buffered
+    scratch = s * d * (2 * 4 + 5 * itemsize + 3 * 4) + 2 * s * s * 4
+    for g in (16, 8, 4, 2, 1):
+        if n % g == 0 and weights + g * (blocks + scratch) <= budget:
             return g
     return 0
 
