@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Recompute the MFU/TFLOP columns of benchmarks/results.json on CPU.
+
+FLOPs come from XLA's unoptimized-HLO cost analysis of the PURE-XLA
+lowering (VLP_DISABLE_PALLAS=1 — custom calls are opaque to the analysis;
+model FLOPs are path-independent). Lower-only, no compile: runs in seconds
+on the CPU host, so recorded step times from a TPU run can be re-annotated
+without touching the chip.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+os.environ["VLP_DISABLE_PALLAS"] = "1"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlp_tpu.config import Config
+    from vlp_tpu.models.tasks import TaskStatics, build_task
+    from vlp_tpu.train.optim import make_optimizer
+    from vlp_tpu.train.state import TrainState
+    from vlp_tpu.train.step import make_scanned_train_step
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results.json")
+    res = json.load(open(path))
+    B = int(res.get("batch_size", 128))
+    K = int(res.get("steps_per_measurement", 10))
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+
+    entries = {
+        "vlp_train": {"task": "vision_language", "model": "resnet34",
+                      "text_model": "tinybert"},
+        "classifier_train": {"task": "only_imaging", "model": "resnet34",
+                             "coral_lambda": 1000.0},
+        "fusion_train": {"task": "fusion", "model": "resnet34"},
+        "backbone_nest_small": {"task": "only_imaging",
+                                "model": "nest_small"},
+        "backbone_nest_small_unfused": {"task": "only_imaging",
+                                        "model": "nest_small",
+                                        "fused_attention": False},
+        "backbone_vit_base": {"task": "only_imaging",
+                              "model": "vit_base_patch16_224"},
+        "backbone_vit_base_unfused": {"task": "only_imaging",
+                                      "model": "vit_base_patch16_224",
+                                      "fused_attention": False},
+        "backbone_resnet50": {"task": "only_imaging", "model": "resnet50"},
+    }
+    rng = np.random.default_rng(0)
+    for name, task_cfg in entries.items():
+        if name not in res or "step_ms" not in res[name]:
+            continue
+        cfg = Config()
+        for k, v in task_cfg.items():
+            setattr(cfg.model, k, v)
+        task = build_task(cfg, TaskStatics(mean=128.0, std=30.0))
+        bb = {
+            "image_u8": jnp.zeros((K, B, 224, 224), jnp.uint8),
+            "label": jnp.zeros((K, B), jnp.int32),
+            "mask": jnp.ones((K, B), jnp.float32),
+        }
+        if cfg.model.task == "vision_language":
+            bb.update({
+                "input_ids": jnp.ones((K, B, 40), jnp.int32),
+                "attention_mask": jnp.ones((K, B, 40), jnp.int32),
+                "caption_id": jnp.tile(jnp.arange(B, dtype=jnp.int32),
+                                       (K, 1)),
+            })
+        else:
+            bb.update({
+                "dataset_id": jnp.tile(jnp.asarray(
+                    rng.integers(0, 2, B, dtype=np.int32)), (K, 1)),
+                "clinical": jnp.zeros((K, B, 15), jnp.float32),
+            })
+        one = {k: v[0] for k, v in bb.items()}
+        variables = task.init_variables(jax.random.key(0), one)
+        tx = make_optimizer(cfg, variables["params"], 100)
+        state = TrainState.create(
+            variables["params"],
+            {k: v for k, v in variables.items() if k != "params"},
+            tx, jax.random.key(1))
+        step = make_scanned_train_step(task, tx, K, mesh=None)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (state, bb))
+        ca = step.lower(*abstract).cost_analysis()
+        f = float(ca.get("flops", 0)) / K  # per step
+        if f <= 0:
+            continue
+        step_s = res[name]["step_ms"] / 1e3
+        tf = f / step_s / 1e12
+        res[name]["model_tflops_per_step"] = round(f / 1e12, 3)
+        res[name]["achieved_tflops_per_sec"] = round(tf, 1)
+        res[name]["mfu_pct"] = round(100 * tf / peak, 1)
+        print(f"{name}: {f/1e12:.3f} TF/step, {tf:.1f} TF/s, "
+              f"{100*tf/peak:.1f}% MFU", flush=True)
+    res["mfu_convention"] = (
+        "model FLOPs = XLA unoptimized-HLO cost analysis of the pure-XLA "
+        "lowering (VLP_DISABLE_PALLAS); includes augmentation/loss/"
+        "optimizer; peak = %s TFLOP/s bf16" % peak)
+    with open(path, "w") as fh:
+        json.dump(res, fh, indent=2)
+    print(f"patched {path}")
+
+
+if __name__ == "__main__":
+    main()

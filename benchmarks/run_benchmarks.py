@@ -46,23 +46,29 @@ def main() -> None:
     # overridable for other chips.
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
-    def module_flops(jitted, *args):
-        """Total FLOPs of one call of a jitted fn, or None when the
-        backend's cost analysis is unavailable."""
+    def module_flops(make_jitted, *args):
+        """Total FLOPs of one call: XLA's unoptimized-HLO cost analysis of
+        the PURE-XLA lowering. Custom calls (Pallas kernels) are opaque to
+        the analysis, so ``make_jitted`` builds a FRESH jit wrapper which
+        is traced under VLP_DISABLE_PALLAS=1 — model FLOPs are
+        path-independent, and a fresh wrapper keeps the kill-switch trace
+        out of the timed step's cache. Lowering only, no compile. The
+        count includes augmentation/loss/optimizer work and XLA's generous
+        strided-conv-backward accounting — treat as the consistent
+        HLO-flop convention, not an exact MAC count."""
         try:
+            os.environ["VLP_DISABLE_PALLAS"] = "1"
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args)
-            lowered = jitted.lower(*abstract)
-            try:
-                ca = lowered.compile().cost_analysis()
-            except Exception:
-                ca = lowered.cost_analysis()
+            ca = make_jitted().lower(*abstract).cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             f = ca.get("flops") if ca else None
             return float(f) if f and f > 0 else None
         except Exception:
             return None
+        finally:
+            os.environ.pop("VLP_DISABLE_PALLAS", None)
 
     def eff_fields(entry, flops_per_step, step_s):
         if flops_per_step:
@@ -112,7 +118,9 @@ def main() -> None:
             {k: v for k, v in variables.items() if k != "params"},
             tx, jax.random.key(1))
         step = make_scanned_train_step(task, tx, K, mesh=None)
-        flops = module_flops(step, state, bb)  # whole K-step module
+        flops = module_flops(
+            lambda: make_scanned_train_step(task, tx, K, mesh=None),
+            state, bb)  # whole K-step module
         state, aux = step(state, bb)
         float(jax.device_get(aux["loss"][-1]))
         ts = []
@@ -168,14 +176,14 @@ def main() -> None:
     one = {k: v[0] for k, v in bb.items()}
     variables = task.init_variables(jax.random.key(0), one)
 
-    @jax.jit
-    def infer_scan(v, bb):
+    def _infer_scan(v, bb):
         def body(c, b):
             return c + task.eval_fn(v, b)["loss"], ()
         out, _ = jax.lax.scan(body, jnp.float32(0), bb)
         return out
 
-    infer_flops = module_flops(infer_scan, variables, bb)
+    infer_scan = jax.jit(_infer_scan)
+    infer_flops = module_flops(lambda: jax.jit(_infer_scan), variables, bb)
     out = infer_scan(variables, bb)
     float(jax.device_get(out))
     ts = []

@@ -430,7 +430,8 @@ _lnmlp.defvjp(_lnmlp_fwd, _lnmlp_bwd)
 def _use_interpret() -> bool:
     import os
 
-    return os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
+    return os.environ.get("VLP_DISABLE_PALLAS", "0") != "1" and \
+        os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
 
 
 def supports_attn(n: int, s: int, d: int, num_heads: int,

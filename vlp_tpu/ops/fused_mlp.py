@@ -185,7 +185,8 @@ _mlp.defvjp(_mlp_fwd, _mlp_bwd)
 
 
 def _use_interpret() -> bool:
-    return os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
+    return os.environ.get("VLP_DISABLE_PALLAS", "0") != "1" and \
+        os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
 
 
 def supports(m: int, d: int, f: int, itemsize: int = 2) -> bool:

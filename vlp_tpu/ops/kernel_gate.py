@@ -51,8 +51,17 @@ def active_kernel_mesh() -> Tuple[Optional[object], Optional[str]]:
 
 def mosaic_ok() -> bool:
     """True when real Mosaic kernels can run: TPU backend, and either a
-    single device or a registered mesh to shard_map over."""
+    single device or a registered mesh to shard_map over.
+
+    ``VLP_DISABLE_PALLAS=1`` forces False — used by the benchmark FLOPs
+    accounting to lower a pure-XLA variant of the model (custom calls are
+    opaque to XLA's HLO cost analysis), and as an operational escape hatch.
+    """
+    import os
+
     global _warned
+    if os.environ.get("VLP_DISABLE_PALLAS", "0") == "1":
+        return False
     if jax.default_backend() != "tpu":
         return False
     if jax.device_count() == 1:
