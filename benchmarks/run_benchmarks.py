@@ -73,9 +73,9 @@ def main() -> None:
     def eff_fields(entry, flops_per_step, step_s):
         if flops_per_step:
             tf = flops_per_step / step_s / 1e12
-            entry["model_tflops_per_step"] = round(flops_per_step / 1e12, 3)
-            entry["achieved_tflops_per_sec"] = round(tf, 1)
-            entry["mfu_pct"] = round(100 * tf / peak_tflops, 1)
+            entry["hlo_tflops_per_step"] = round(flops_per_step / 1e12, 3)
+            entry["hlo_tflops_per_sec"] = round(tf, 1)
+            entry["hlo_mfu_pct"] = round(100 * tf / peak_tflops, 1)
         return entry
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0]),
@@ -118,9 +118,11 @@ def main() -> None:
             {k: v for k, v in variables.items() if k != "params"},
             tx, jax.random.key(1))
         step = make_scanned_train_step(task, tx, K, mesh=None)
-        flops = module_flops(
-            lambda: make_scanned_train_step(task, tx, K, mesh=None),
-            state, bb)  # whole K-step module
+        # flops from the UNSCANNED single-step lowering: cost analysis
+        # counts a while-loop body once regardless of trip count
+        from vlp_tpu.train.step import make_train_step as _mts
+
+        flops = module_flops(lambda: _mts(task, tx, mesh=None), state, one)
         state, aux = step(state, bb)
         float(jax.device_get(aux["loss"][-1]))
         ts = []
@@ -133,20 +135,23 @@ def main() -> None:
         results[name] = eff_fields(
             {"images_per_sec": round(ips, 1),
              "step_ms": round(min(ts) / K * 1e3, 2)},
-            flops / K if flops else None, min(ts) / K)
+            flops, min(ts) / K)
         extra = ""
-        if "mfu_pct" in results[name]:
-            extra = (f", {results[name]['achieved_tflops_per_sec']} TF/s = "
-                     f"{results[name]['mfu_pct']}% MFU")
+        if "hlo_mfu_pct" in results[name]:
+            extra = (f", {results[name]['hlo_tflops_per_sec']} TF/s = "
+                     f"{results[name]['hlo_mfu_pct']}% MFU")
         print(f"{name}: {ips:.0f} img/s ({min(ts)/K*1e3:.1f} ms/step{extra})",
               flush=True)
 
-    measure_train("vlp_train", {"task": "vision_language", "model": "resnet34",
-                                "text_model": "tinybert"})
-    measure_train("classifier_train", {"task": "only_imaging",
-                                       "model": "resnet34",
-                                       "coral_lambda": 1000.0})
-    measure_train("fusion_train", {"task": "fusion", "model": "resnet34"})
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        measure_train("vlp_train", {"task": "vision_language",
+                                    "model": "resnet34",
+                                    "text_model": "tinybert"})
+        measure_train("classifier_train", {"task": "only_imaging",
+                                           "model": "resnet34",
+                                           "coral_lambda": 1000.0})
+        measure_train("fusion_train", {"task": "fusion",
+                                       "model": "resnet34"})
 
     # transformer/large backbones through the same real-optimizer scan
     # (supersedes the hand-recorded backbone_train_images_per_sec entries);
@@ -168,57 +173,63 @@ def main() -> None:
         measure_train("backbone_resnet50",
                       {"task": "only_imaging", "model": "resnet50"})
 
-    # inference
-    cfg = Config()
-    cfg.model.task = "only_imaging"
-    task = build_task(cfg, TaskStatics(mean=128.0, std=30.0))
-    bb = batches("only_imaging")
-    one = {k: v[0] for k, v in bb.items()}
-    variables = task.init_variables(jax.random.key(0), one)
+    if os.environ.get("BENCH_INFER", "1") == "1":
+        # inference
+        cfg = Config()
+        cfg.model.task = "only_imaging"
+        task = build_task(cfg, TaskStatics(mean=128.0, std=30.0))
+        bb = batches("only_imaging")
+        one = {k: v[0] for k, v in bb.items()}
+        variables = task.init_variables(jax.random.key(0), one)
 
-    def _infer_scan(v, bb):
-        def body(c, b):
-            return c + task.eval_fn(v, b)["loss"], ()
-        out, _ = jax.lax.scan(body, jnp.float32(0), bb)
-        return out
+        def _infer_scan(v, bb):
+            def body(c, b):
+                return c + task.eval_fn(v, b)["loss"], ()
+            out, _ = jax.lax.scan(body, jnp.float32(0), bb)
+            return out
 
-    infer_scan = jax.jit(_infer_scan)
-    infer_flops = module_flops(lambda: jax.jit(_infer_scan), variables, bb)
-    out = infer_scan(variables, bb)
-    float(jax.device_get(out))
-    ts = []
-    for _ in range(3):
+        infer_scan = jax.jit(_infer_scan)
+
+        def _infer_one(v, b):
+            return task.eval_fn(v, b)["loss"]
+
+        infer_flops = module_flops(lambda: jax.jit(_infer_one), variables,
+                                   one)
+        out = infer_scan(variables, bb)
+        float(jax.device_get(out))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jax.device_get(infer_scan(variables, bb)))
+            ts.append(time.perf_counter() - t0)
+        results["classifier_infer"] = eff_fields(
+            {"images_per_sec": round(B * K / min(ts), 1),
+             "step_ms": round(min(ts) / K * 1e3, 2)},
+            infer_flops, min(ts) / K)
+        print(f"classifier_infer: {B*K/min(ts):.0f} img/s", flush=True)
+
+        # augmentation alone
+        key = jax.random.key(0)
+        imgs = jnp.asarray(rng.integers(0, 255, (B, 224, 224), dtype=np.uint8))
+
+        @jax.jit
+        def aug_scan(c):
+            def body(c, _):
+                y = augment_and_normalize(c, key, jnp.float32(128.),
+                                          jnp.float32(30.), AugmentConfig())
+                return (y[..., 0] * 0).astype(jnp.uint8) + c, ()
+            c, _ = jax.lax.scan(body, c, None, length=K)
+            return c
+
+        out = aug_scan(imgs)
+        float(jax.device_get(out.reshape(-1)[0]))
         t0 = time.perf_counter()
-        float(jax.device_get(infer_scan(variables, bb)))
-        ts.append(time.perf_counter() - t0)
-    results["classifier_infer"] = eff_fields(
-        {"images_per_sec": round(B * K / min(ts), 1),
-         "step_ms": round(min(ts) / K * 1e3, 2)},
-        infer_flops / K if infer_flops else None, min(ts) / K)
-    print(f"classifier_infer: {B*K/min(ts):.0f} img/s", flush=True)
-
-    # augmentation alone
-    key = jax.random.key(0)
-    imgs = jnp.asarray(rng.integers(0, 255, (B, 224, 224), dtype=np.uint8))
-
-    @jax.jit
-    def aug_scan(c):
-        def body(c, _):
-            y = augment_and_normalize(c, key, jnp.float32(128.),
-                                      jnp.float32(30.), AugmentConfig())
-            return (y[..., 0] * 0).astype(jnp.uint8) + c, ()
-        c, _ = jax.lax.scan(body, c, None, length=K)
-        return c
-
-    out = aug_scan(imgs)
-    float(jax.device_get(out.reshape(-1)[0]))
-    t0 = time.perf_counter()
-    out = aug_scan(imgs)
-    float(jax.device_get(out.reshape(-1)[0]))
-    dt = (time.perf_counter() - t0) / K
-    results["augmentation"] = {"images_per_sec": round(B / dt, 1),
-                               "step_ms": round(dt * 1e3, 2)}
-    print(f"augmentation: {B/dt:.0f} img/s", flush=True)
+        out = aug_scan(imgs)
+        float(jax.device_get(out.reshape(-1)[0]))
+        dt = (time.perf_counter() - t0) / K
+        results["augmentation"] = {"images_per_sec": round(B / dt, 1),
+                                   "step_ms": round(dt * 1e3, 2)}
+        print(f"augmentation: {B/dt:.0f} img/s", flush=True)
 
     # trainer_loop: the DELIVERED Trainer.fit path (scanned K-step dispatch,
     # host pipeline, device prefetch) on synthetic 224px pretrain data —
@@ -231,11 +242,16 @@ def main() -> None:
         from vlp_tpu.train.driver import train as driver_train
 
         cfg = get_experiment("smoke_synthetic_pretrain")
+        # epoch length: real MURA+LERA is ~700 batches/epoch; a 10-batch
+        # epoch over-weights the epoch-boundary costs (ragged-tail
+        # dispatches, ramp) ~70x relative to production. 40 batches keeps
+        # the run short while approximating steady state.
+        nbatch = int(os.environ.get("BENCH_TRAINER_EPOCH_BATCHES", "40"))
         cfg = apply_overrides(cfg, [
             "model.model=resnet34", "model.text_model=tinybert",
             "data.image_size=224", "data.batch_size=128",
             "data.eval_batch_size=128", "data.max_token_length=40",
-            f"data.synthetic_num_samples={10 * B}",
+            f"data.synthetic_num_samples={nbatch * B}",
             "downstream_data.synthetic_num_samples=64",
             "trainer.max_epochs=2", "trainer.precision=bf16",
             # probe/pak run OUTSIDE the timed train loop; tiny downstream
