@@ -56,6 +56,7 @@ def main() -> None:
         count includes augmentation/loss/optimizer work and XLA's generous
         strided-conv-backward accounting — treat as the consistent
         HLO-flop convention, not an exact MAC count."""
+        prior = os.environ.get("VLP_DISABLE_PALLAS")
         try:
             os.environ["VLP_DISABLE_PALLAS"] = "1"
             abstract = jax.tree.map(
@@ -68,7 +69,16 @@ def main() -> None:
         except Exception:
             return None
         finally:
-            os.environ.pop("VLP_DISABLE_PALLAS", None)
+            # restore a user-set kill-switch rather than deleting it
+            if prior is None:
+                os.environ.pop("VLP_DISABLE_PALLAS", None)
+            else:
+                os.environ["VLP_DISABLE_PALLAS"] = prior
+            # the kill-switch trace also populated NESTED module-level jit
+            # caches (augment_and_normalize) with XLA-fallback jaxprs that
+            # the timed run would silently reuse — drop every trace cache;
+            # the persistent compile cache keeps recompiles cheap
+            jax.clear_caches()
 
     def eff_fields(entry, flops_per_step, step_s):
         if flops_per_step:

@@ -152,3 +152,31 @@ class TestShardedEncoderBlock:
         ref = blk.apply(params, x)
         np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestShardedAugmentKernels:
+    def test_augment_under_mesh_matches_unsharded(self, mesh8, monkeypatch):
+        """augment_and_normalize dispatches the Pallas shear warp under a
+        multi-device mesh via shard_wrap (regression: a raw pallas_call in
+        a mesh-sharded program fails to lower on multi-chip TPU); the
+        wrapped path must equal the unwrapped one bit-for-bit."""
+        import jax
+
+        from vlp_tpu.ops.augment import AugmentConfig, augment_and_normalize
+
+        x = jnp.asarray(np.random.default_rng(0).integers(
+            0, 255, (16, 32, 32), dtype=np.uint8))
+        key = jax.random.key(7)
+        cfg = AugmentConfig()
+        out_m = augment_and_normalize(x, key, jnp.float32(128.0),
+                                      jnp.float32(30.0), cfg,
+                                      dtype=jnp.float32)
+        out_m = np.asarray(out_m).copy()
+        set_kernel_mesh(None)
+        # module-level jit: drop the mesh-wrapped trace or the second call
+        # would reuse it and the comparison would be vacuous
+        augment_and_normalize.clear_cache()
+        out_1 = augment_and_normalize(x, key, jnp.float32(128.0),
+                                      jnp.float32(30.0), cfg,
+                                      dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out_m), np.asarray(out_1))

@@ -174,10 +174,8 @@ class ResidentCorpus:
         """shard_map gather over row-sharded images. ``idx_dims``: which
         idx dim carries the batch shard (P(axis) or P(None, axis))."""
         from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map
+
+        from vlp_tpu.ops.kernel_gate import shard_map_compat
 
         axis = self.axis_name
         n = self.mesh.size
@@ -206,13 +204,8 @@ class ResidentCorpus:
             return out.astype(jnp.uint8)
 
         spec = lambda dims: P(*(axis if d == 0 else None for d in dims))
-        kwargs = dict(mesh=self.mesh,
-                      in_specs=(P(axis), spec(idx_dims)),
-                      out_specs=spec(idx_dims))
-        try:
-            return shard_map(body, check_vma=False, **kwargs)
-        except TypeError:  # pragma: no cover - older jax
-            return shard_map(body, check_rep=False, **kwargs)
+        return shard_map_compat(body, self.mesh,
+                                (P(axis), spec(idx_dims)), spec(idx_dims))
 
     def _put_idx(self, idx: np.ndarray):
         from jax.sharding import NamedSharding, PartitionSpec as P

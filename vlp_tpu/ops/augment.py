@@ -141,36 +141,46 @@ def augment_and_normalize(
     scale_intensity=True selects the torchxrayvision path
     0..255 -> −1024..1024 (reference DownstreamDataModule.py:274).
     """
-    from vlp_tpu.ops.kernel_gate import mosaic_ok
+    from vlp_tpu.ops.kernel_gate import mosaic_ok, shard_wrap
 
     x = images_u8.astype(jnp.float32)
     b = x.shape[0]
     if cfg.enabled:
         pkey, nkey = jax.random.split(rng)
         tx, ty, theta, zoom, shear, flip, noise_std = _sample_params(pkey, cfg, b)
-        # the Pallas shear kernel cannot lower under multi-device GSPMD
-        # (kernel_gate); CPU uses the interpreter (partitions fine),
-        # multi-chip TPU falls back to the gather warp
+        # under a multi-device mesh the Pallas shear/noise kernels are
+        # shard_map-wrapped like every other kernel (a raw pallas_call
+        # cannot be GSPMD-partitioned); indivisible batches fall back
         shear_ok = jax.default_backend() != "tpu" or mosaic_ok()
+        warp_call = None
         if cfg.method == "shear" and shear_ok:
             from vlp_tpu.ops.warp import affine_warp_shear
 
-            x = affine_warp_shear(x, theta, zoom, tx, ty, shear)
+            warp_call = shard_wrap(affine_warp_shear, b,
+                                   in_batched=(True,) * 6,
+                                   out_batched=True)
+        if warp_call is not None:
+            x = warp_call(x, theta, zoom, tx, ty, shear)
         else:
             x = jax.vmap(_warp_one)(x, tx, ty, theta, zoom, shear)
         x = jnp.where(flip[:, None, None], x[:, ::-1, :], x)
         # σ in raw intensity units, matching MONAI RandGaussianNoised which
         # adds N(0, σ≤0.01) to the unnormalized 0..255 image.
+        noise_call = None
         if mosaic_ok() and x.shape[-1] % 2 == 0:
             # hardware-PRNG Box-Muller kernel: the threefry normal draw
             # alone costs ~4.1 ms/batch (~12% of the VLP step); same
             # distribution, different deterministic stream
             from vlp_tpu.ops.pallas_noise import add_gaussian_noise
 
+            noise_call = shard_wrap(add_gaussian_noise, b,
+                                    in_batched=(True, True, True),
+                                    out_batched=True)
+        if noise_call is not None:
             seeds = jax.random.randint(
                 nkey, (b, 2), jnp.iinfo(jnp.int32).min,
                 jnp.iinfo(jnp.int32).max)  # 2 words: no birthday collisions
-            x = add_gaussian_noise(x, seeds, noise_std)
+            x = noise_call(x, seeds, noise_std)
         else:
             noise = jax.random.normal(nkey, x.shape) * noise_std[:, None, None]
             x = x + noise

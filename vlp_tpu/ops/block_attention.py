@@ -184,10 +184,10 @@ _attend.defvjp(_attend_fwd, _attend_bwd)
 def _use_interpret() -> bool:
     """On CPU the kernel runs only under the (slow) Pallas interpreter; the
     math is identical to flax's reference attention, so CPU defaults to the
-    XLA path and interpret mode is opt-in for kernel tests.
-    VLP_DISABLE_PALLAS=1 overrides (pure-XLA lowering for FLOPs counting)."""
-    return os.environ.get("VLP_DISABLE_PALLAS", "0") != "1" and \
-        os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
+    XLA path and interpret mode is opt-in for kernel tests."""
+    from vlp_tpu.ops.kernel_gate import use_interpret
+
+    return use_interpret()
 
 
 def _on_tpu() -> bool:

@@ -428,10 +428,9 @@ _lnmlp.defvjp(_lnmlp_fwd, _lnmlp_bwd)
 # -- public API -------------------------------------------------------------
 
 def _use_interpret() -> bool:
-    import os
+    from vlp_tpu.ops.kernel_gate import use_interpret
 
-    return os.environ.get("VLP_DISABLE_PALLAS", "0") != "1" and \
-        os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
+    return use_interpret()
 
 
 def supports_attn(n: int, s: int, d: int, num_heads: int,

@@ -185,8 +185,9 @@ _mlp.defvjp(_mlp_fwd, _mlp_bwd)
 
 
 def _use_interpret() -> bool:
-    return os.environ.get("VLP_DISABLE_PALLAS", "0") != "1" and \
-        os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
+    from vlp_tpu.ops.kernel_gate import use_interpret
+
+    return use_interpret()
 
 
 def supports(m: int, d: int, f: int, itemsize: int = 2) -> bool:

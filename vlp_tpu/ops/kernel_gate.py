@@ -79,6 +79,30 @@ def mosaic_ok() -> bool:
     return False
 
 
+def use_interpret() -> bool:
+    """Pallas interpret-mode opt-in (CPU kernel tests); VLP_DISABLE_PALLAS
+    wins. Single source of truth for every kernel module."""
+    import os
+
+    return os.environ.get("VLP_DISABLE_PALLAS", "0") != "1" and \
+        os.environ.get("VLP_PALLAS_INTERPRET", "0") == "1"
+
+
+def shard_map_compat(body, mesh, in_specs, out_specs):
+    """shard_map with the check_vma (jax>=0.8) / check_rep fallback —
+    shared by shard_wrap and the resident-corpus gather."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        return shard_map(body, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax
+        return shard_map(body, check_rep=False, **kwargs)
+
+
 def shard_wrap(fn, n: int, in_batched, out_batched):
     """shard_map-wrap a batch-parallel kernel call over the active mesh.
 
@@ -95,15 +119,8 @@ def shard_wrap(fn, n: int, in_batched, out_batched):
     if n % mesh.size:
         return None
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
 
     spec = lambda b: P(axis) if b else P()
-    kwargs = dict(mesh=mesh, in_specs=tuple(spec(b) for b in in_batched),
-                  out_specs=jax.tree.map(spec, out_batched))
-    try:
-        return shard_map(fn, check_vma=False, **kwargs)
-    except TypeError:  # pragma: no cover - older jax
-        return shard_map(fn, check_rep=False, **kwargs)
+    return shard_map_compat(fn, mesh,
+                            tuple(spec(b) for b in in_batched),
+                            jax.tree.map(spec, out_batched))

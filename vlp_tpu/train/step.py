@@ -170,6 +170,24 @@ def make_scanned_metric_eval_step(task: BaseTask, num_steps: int,
                    out_shardings=repl)
 
 
+_COLLECT_CACHE: Dict = {}
+
+
+def _cached_apply_fns(fn, scan_steps, mesh, axis_name):
+    """Memoized (single, scan) jit wrappers per underlying function —
+    rebuilding them per call would re-trace NesT/ViT-sized programs every
+    probe epoch. Bound methods hash by (instance, function) so repeated
+    attribute access maps to one entry."""
+    key = (getattr(fn, "__self__", None), getattr(fn, "__func__", fn),
+           scan_steps, mesh, axis_name)
+    if key not in _COLLECT_CACHE:
+        single = make_apply_fn(fn, mesh, axis_name)
+        scan = make_scanned_apply_fn(fn, scan_steps, mesh, axis_name) \
+            if scan_steps > 1 else None
+        _COLLECT_CACHE[key] = (single, scan)
+    return _COLLECT_CACHE[key]
+
+
 def collect_over_loader(fn, variables: Dict, loader, scan_steps: int = 8,
                         mesh: Optional[Mesh] = None,
                         axis_name: str = "data"):
@@ -178,7 +196,7 @@ def collect_over_loader(fn, variables: Dict, loader, scan_steps: int = 8,
     O(batches). Padding rows (mask 0) are dropped."""
     import numpy as np
 
-    single = make_apply_fn(fn, mesh, axis_name)
+    single, scan = _cached_apply_fns(fn, scan_steps, mesh, axis_name)
     outs, labels = [], []
 
     def eat(o, mask, label, chunked):
@@ -190,7 +208,6 @@ def collect_over_loader(fn, variables: Dict, loader, scan_steps: int = 8,
         labels.append(np.asarray(jax.device_get(label)).reshape(-1)[m])
 
     if scan_steps > 1:
-        scan = make_scanned_apply_fn(fn, scan_steps, mesh, axis_name)
         for kind, payload in loader.iter_scan_chunks(scan_steps):
             if kind == "chunk":
                 eat(scan(variables, payload), payload["mask"],
