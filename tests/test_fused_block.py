@@ -126,3 +126,89 @@ class TestSupportGates:
             FB.ln_attention(x, jnp.ones(d), jnp.zeros(d),
                             jnp.zeros((d, 3 * d)), jnp.zeros(3 * d),
                             jnp.zeros((d, d)), jnp.zeros(d), 8)
+
+
+class TestWindowedNHWC:
+    """Blockify-free NesT path: ln_attention_windows on the NHWC map must
+    equal blockify -> EncoderBlock(3D) -> unblockify exactly (same params),
+    including gradients; and the full tiny NesT must match the plain path."""
+
+    def test_windowed_matches_blockified(self, monkeypatch):
+        from vlp_tpu.models.nest import blockify, unblockify
+
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        set_kernel_mesh(None)
+        b, h, w, d, blkw, heads = 4, 8, 8, 32, 4, 2
+        x4 = _x(n=b, s=h * w, d=d, seed=21).reshape(b, h, w, d)
+        blk = EncoderBlock(num_heads=heads, dtype=jnp.float32, window=blkw)
+        # init via the 4-D path; same tree as the 3-D path by construction
+        params = blk.init(jax.random.key(0), x4)
+
+        def win(p, x):
+            return blk.apply(p, x)  # 4-D -> windowed megakernel
+
+        def ref(p, x):
+            t = blockify(x, blkw)
+            bs, nb, s, dd = t.shape
+            t = blk.apply(p, t.reshape(bs * nb, s, dd))
+            return unblockify(t.reshape(bs, nb, s, dd), blkw, h, w)
+
+        out_w = win(params, x4)
+        out_r = ref(params, x4)
+        np.testing.assert_allclose(np.asarray(out_w), np.asarray(out_r),
+                                   atol=2e-5)
+
+        def loss(fn):
+            return lambda p, x: jnp.sum(jnp.sin(fn(p, x)))
+
+        gw, gxw = jax.grad(loss(win), (0, 1))(params, x4)
+        gr, gxr = jax.grad(loss(ref), (0, 1))(params, x4)
+        np.testing.assert_allclose(np.asarray(gxw), np.asarray(gxr),
+                                   atol=5e-5)
+        for a, b_ in zip(jax.tree.leaves(gw), jax.tree.leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_tiny_nest_mega_matches_plain(self, monkeypatch):
+        from vlp_tpu.models.nest import NesT
+
+        set_kernel_mesh(None)
+        kw = dict(img_size=16, patch_size=2, embed_dims=(16, 32),
+                  num_heads=(2, 4), depths=(1, 1), block_size=4,
+                  dtype=jnp.float32, num_classes=3)
+        x = jnp.asarray(np.random.default_rng(22).standard_normal(
+            (4, 16, 16, 3)), jnp.float32)
+        plain = NesT(megakernel=False, fused_attention=False, **kw)
+        params = plain.init(jax.random.key(0), x)
+        out_p = plain.apply(params, x)
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        mega = NesT(megakernel=True, nhwc_windows=True, **kw)
+        # fused/unfused attn trees differ; migrate via the checkpoint helper
+        from vlp_tpu.utils.checkpoint import adapt_attention_layout
+
+        mega_params = mega.init(jax.random.key(0), x)
+        adapted, n = adapt_attention_layout(params, mega_params)
+        assert n == 2  # one attn block per level
+        out_m = mega.apply(adapted, x)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_p),
+                                   atol=5e-5)
+
+    def test_windowed_under_mesh(self, monkeypatch):
+        mesh = create_mesh()
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        b, h, w, d, blkw, heads = 16, 8, 8, 32, 4, 2
+        x4 = _x(n=b, s=h * w, d=d, seed=23).reshape(b, h, w, d)
+        blk = EncoderBlock(num_heads=heads, dtype=jnp.float32, window=blkw)
+        params = blk.init(jax.random.key(0), x4)
+        out_m = blk.apply(params, x4)
+        set_kernel_mesh(None)
+        out_1 = blk.apply(params, x4)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_1),
+                                   atol=2e-5)
+
+    def test_supports_window_nest_shapes(self):
+        assert FB.supports_window(128, 56, 56, 96, 3, 14)   # l0
+        assert FB.supports_window(128, 28, 28, 192, 6, 14)  # l1
+        assert FB.supports_window(128, 14, 14, 384, 12, 14)  # l2
+        assert not FB.supports_window(128, 56, 56, 96, 5, 14)  # bad heads
+        assert not FB.supports_window(128, 57, 56, 96, 3, 14)  # indivisible

@@ -73,6 +73,12 @@ class NesT(nn.Module):
     axis_name: Optional[str] = None  # unused; API parity with ResNet
     fused_attention: bool = True  # Pallas fused attention (block_attention.py)
     megakernel: bool = True  # half-block megakernels (fused_block.py)
+    # Blockify-free NHWC windowed attention (fused_block.ln_attention_windows):
+    # measured SLOWER on v5e (797 vs 878 img/s nest_small train — the
+    # in-kernel strided window slices/reshapes cost more than the
+    # blockify/unblockify transposes they remove), so OFF by default;
+    # kept as a tested variant for future Mosaic layout improvements.
+    nhwc_windows: bool = False
 
     def setup(self):
         self.patch_embed = nn.Conv(
@@ -94,6 +100,7 @@ class NesT(nn.Module):
                 EncoderBlock(heads, 4.0, self.dtype,
                              fused_attention=self.fused_attention,
                              megakernel=self.megakernel,
+                             window=self.block_size,
                              name=f"l{li}_block{d}")
                 for d in range(depth)])
             if li < len(self.embed_dims) - 1:
@@ -112,18 +119,48 @@ class NesT(nn.Module):
         feats = self.forward_features(x, train)
         return self.forward_head(feats, train)
 
+    def _level_uses_nhwc(self, x) -> bool:
+        """Blockify-free windowed megakernel path for this level's shapes:
+        attention runs straight on the NHWC map (ops/fused_block.py
+        ln_attention_windows) — no blockify/unblockify transposes."""
+        from vlp_tpu.ops import fused_block as FB
+        from vlp_tpu.ops.kernel_gate import active_kernel_mesh, mosaic_ok
+
+        if not (self.fused_attention and self.megakernel
+                and self.nhwc_windows):
+            return False
+        if not (mosaic_ok() or FB._use_interpret()):
+            return False
+        b, h, w, d = x.shape
+        mesh, _ = active_kernel_mesh()
+        shards = mesh.size if mesh is not None else 1
+        itemsize = jnp.dtype(self.dtype).itemsize
+        heads = self.num_heads[self.embed_dims.index(d)] \
+            if d in self.embed_dims else 0
+        return b % shards == 0 and heads > 0 and FB.supports_window(
+            b // shards, h, w, d, heads, self.block_size, itemsize)
+
     def forward_features(self, x, train: bool = False):
         x = self.patch_embed(x.astype(self.dtype))  # [B, 56, 56, 96]
         size = x.shape[1]
         for li, blocks in enumerate(self.levels):
-            t = blockify(x, self.block_size)  # [B, nb, 196, D]
-            t = t + self.pos_embeds[li].astype(self.dtype)
-            bsz, nb, seq, dim = t.shape
-            t = t.reshape(bsz * nb, seq, dim)  # fold blocks into batch
-            for blk in blocks:
-                t = blk(t)
-            t = t.reshape(bsz, nb, seq, dim)
-            x = unblockify(t, self.block_size, size, size)
+            if self._level_uses_nhwc(x):
+                # pos embed is STORED blockified ([1, nb, S, D] — the
+                # checkpoint layout); unblockify once per step (tiny)
+                pe = unblockify(self.pos_embeds[li].astype(self.dtype),
+                                self.block_size, size, size)
+                x = x + pe
+                for blk in blocks:
+                    x = blk(x)  # 4-D NHWC windowed megakernels
+            else:
+                t = blockify(x, self.block_size)  # [B, nb, 196, D]
+                t = t + self.pos_embeds[li].astype(self.dtype)
+                bsz, nb, seq, dim = t.shape
+                t = t.reshape(bsz * nb, seq, dim)  # fold blocks into batch
+                for blk in blocks:
+                    t = blk(t)
+                t = t.reshape(bsz, nb, seq, dim)
+                x = unblockify(t, self.block_size, size, size)
             if li < len(self.pools):
                 x = self.pools[li](x)
                 size //= 2

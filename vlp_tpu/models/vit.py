@@ -155,12 +155,20 @@ class EncoderBlock(nn.Module):
     # activation touches HBM once per half-block per direction. Param tree
     # identical to the fused path; engages per shape via supports_*().
     megakernel: bool = True
+    # NesT windowed attention: when set, a 4-D [B, H, W, D] input runs the
+    # blockify-free NHWC megakernel (attention within window x window
+    # tiles, fed by BlockSpec index maps — no layout transposes). The
+    # caller (NesT) guards with supports_window(); 3-D inputs behave as
+    # before. Param tree unchanged.
+    window: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
         from vlp_tpu.ops import fused_block as FB
         from vlp_tpu.ops.kernel_gate import active_kernel_mesh, mosaic_ok
 
+        if x.ndim == 4:
+            return self._window_call(x, FB)
         d = x.shape[-1]
         lead = x.shape[:-1]
         n, s = x.shape[0], math.prod(x.shape[1:-1])
@@ -204,6 +212,35 @@ class EncoderBlock(nn.Module):
         y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x.astype(jnp.float32))
         # fused MLP is checkpoint-compatible with the unfused path and so
         # stays on regardless of the attention choice
+        y = MlpBlock(hidden, dtype=self.dtype, name="mlp")(y.astype(self.dtype))
+        return x + y
+
+    def _window_call(self, x, FB):
+        """Blockify-free NesT path: x [B, H, W, D]; the caller guarantees
+        supports_window() holds (NesT checks per level). Params are created
+        in the SAME order/names as the 3-D paths."""
+        from vlp_tpu.ops.kernel_gate import active_kernel_mesh
+
+        assert self.window, "4-D EncoderBlock input requires window="
+        b, hh, ww, d = x.shape
+        mesh, _ = active_kernel_mesh()
+        shards = mesh.size if mesh is not None else 1
+        itemsize = jnp.dtype(self.dtype).itemsize
+        gamma, beta = _LnParams(d, name="ln1")()
+        wq, bq, wo, bo = _AttnParams(d, name="attn")()
+        x = FB.ln_attention_windows(x.astype(self.dtype), self.window,
+                                    gamma, beta, wq, bq, wo, bo,
+                                    self.num_heads)
+        hidden = int(d * self.mlp_ratio)
+        m = b * hh * ww
+        if m % shards == 0 and FB.supports_mlp(m // shards, d, hidden,
+                                               itemsize):
+            gamma2, beta2 = _LnParams(d, name="ln2")()
+            w1, b1, w2, b2 = _MlpParams(d, hidden, name="mlp")()
+            y = FB.ln_mlp(x.reshape(m, d).astype(self.dtype), gamma2,
+                          beta2, w1, b1, w2, b2)
+            return y.reshape(b, hh, ww, d)
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x.astype(jnp.float32))
         y = MlpBlock(hidden, dtype=self.dtype, name="mlp")(y.astype(self.dtype))
         return x + y
 

@@ -485,3 +485,212 @@ def ln_mlp(x: jax.Array, gamma: jax.Array, beta: jax.Array, w1: jax.Array,
                 beta.reshape(1, -1).astype(f32), w1.astype(dt),
                 b1.reshape(1, -1).astype(f32), w2.astype(dt),
                 b2.reshape(1, -1).astype(f32))
+
+
+# ==========================================================================
+# Windowed NHWC variant: NesT local attention WITHOUT blockify/unblockify
+# ==========================================================================
+#
+# NesT partitions the [B, H, W, D] token map into block x block windows and
+# attends within each. The straightforward layout ([B*nb, S, D] with
+# blockify/unblockify transposes around every level) pays "data formatting"
+# HBM passes that the megakernel makes relatively expensive (~4% of the
+# nest_small step after fusion). Here the BlockSpec index map feeds each
+# program ONE ROW-STRIP (1, block, W, D) straight from the NHWC array —
+# the gw windows inside a strip play the role of the sample group g, and
+# the transposes disappear entirely in both directions.
+
+def _lnattn_nhwc_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                            wout_ref, bout_ref, y_ref, *, num_heads,
+                            head_dim, scale, block):
+    dtype = x_ref.dtype
+    w = x_ref.shape[2]
+    s = block * block
+    for wj in range(w // block):
+        lo = wj * block
+        x = x_ref[0, :, lo:lo + block, :].reshape(
+            s, x_ref.shape[3]).astype(jnp.float32)
+        xh, _ = _ln_fwd(x)
+        ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
+        qkv = (jnp.dot(ln, wqkv_ref[...],
+                       preferred_element_type=jnp.float32)
+               + bqkv_ref[...]).astype(dtype)
+        o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
+        y = jnp.dot(o, wout_ref[...],
+                    preferred_element_type=jnp.float32) + bout_ref[...]
+        y_ref[0, :, lo:lo + block, :] = (x + y).astype(dtype).reshape(
+            block, block, x_ref.shape[3])
+
+
+def _lnattn_nhwc_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                            wout_ref, dout_ref,
+                            dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref,
+                            dwout_ref, dbout_ref, *, num_heads, head_dim,
+                            scale, block):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+
+    dtype = x_ref.dtype
+    w = x_ref.shape[2]
+    d = num_heads * head_dim
+    s = block * block
+    for wj in range(w // block):
+        lo = wj * block
+        x = x_ref[0, :, lo:lo + block, :].reshape(s, d).astype(jnp.float32)
+        xh, inv = _ln_fwd(x)
+        ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
+        qkv = (jnp.dot(ln, wqkv_ref[...],
+                       preferred_element_type=jnp.float32)
+               + bqkv_ref[...]).astype(dtype)
+        o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
+        dy = dout_ref[0, :, lo:lo + block, :].reshape(
+            s, d).astype(jnp.float32)
+        dyb = dy.astype(dtype)
+        dwout_ref[...] += jax.lax.dot_general(
+            o, dyb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbout_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+        do = jax.lax.dot_general(dyb, wout_ref[...],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqkv = _attn_heads_bwd(qkv, do, num_heads, head_dim, scale, dtype)
+        dqkvb = dqkv.astype(dtype)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            ln, dqkvb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+        dln = jax.lax.dot_general(dqkvb, wqkv_ref[...],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
+        db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
+        dxh = dln * g_ref[...]
+        dx_ref[0, :, lo:lo + block, :] = (
+            dy + _ln_bwd_dx(dxh, xh, inv)).astype(dtype).reshape(
+            block, block, d)
+
+
+def supports_window(b: int, h: int, w: int, d: int, num_heads: int,
+                    block: int, itemsize: int = 2) -> bool:
+    """``b`` must be the PER-SHARD batch under a multi-device mesh."""
+    if d % num_heads or h % block or w % block:
+        return False
+    gw = w // block
+    g = _attn_group(gw, block * block, d, num_heads, itemsize)
+    return g == gw  # the whole row-strip must fit one program
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _lnattn_nhwc(x, gamma, beta, wqkv, bqkv, wout, bout, num_heads: int,
+                 block: int, interpret: bool):
+    return _lnattn_nhwc_fwd(x, gamma, beta, wqkv, bqkv, wout, bout,
+                            num_heads, block, interpret)[0]
+
+
+def _nhwc_specs(b, h, w, d, block):
+    gh = h // block
+    strip = pl.BlockSpec((1, block, w, d),
+                         lambda i: (i // gh, i % gh, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return (b * gh,), strip
+
+
+def _lnattn_nhwc_fwd(x, gamma, beta, wqkv, bqkv, wout, bout, num_heads,
+                     block, interpret):
+    b, h, w, d = x.shape
+    head_dim = d // num_heads
+    if not supports_window(b, h, w, d, num_heads, block, x.dtype.itemsize):
+        raise ValueError(
+            f"ln_attention_windows unsupported for {x.shape} block={block} "
+            "— guard with supports_window()")
+    grid, strip = _nhwc_specs(b, h, w, d, block)
+    kernel = functools.partial(_lnattn_nhwc_fwd_kernel, num_heads=num_heads,
+                               head_dim=head_dim, scale=head_dim ** -0.5,
+                               block=block)
+    s = block * block
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[strip, _const((1, d)), _const((1, d)),
+                  _const((d, 3 * d)), _const((1, 3 * d)),
+                  _const((d, d)), _const((1, d))],
+        out_specs=strip,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, d), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * (4 * d * d + 2 * s * d),
+            bytes_accessed=2 * b * h * w * d * x.dtype.itemsize,
+            transcendentals=b * h * w * s * num_heads // s),
+    )(x, gamma, beta, wqkv, bqkv, wout, bout)
+    return y, (x, gamma, beta, wqkv, bqkv, wout)
+
+
+def _lnattn_nhwc_bwd(num_heads, block, interpret, res, dout):
+    x, gamma, beta, wqkv, bqkv, wout = res
+    b, h, w, d = x.shape
+    head_dim = d // num_heads
+    grid, strip = _nhwc_specs(b, h, w, d, block)
+    kernel = functools.partial(_lnattn_nhwc_bwd_kernel, num_heads=num_heads,
+                               head_dim=head_dim, scale=head_dim ** -0.5,
+                               block=block)
+    f32 = jnp.float32
+    dx, dg, db, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[strip, _const((1, d)), _const((1, d)),
+                  _const((d, 3 * d)), _const((1, 3 * d)), _const((d, d)),
+                  strip],
+        out_specs=(strip, _const((1, d)), _const((1, d)),
+                   _const((d, 3 * d)), _const((1, 3 * d)),
+                   _const((d, d)), _const((1, d))),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w, d), x.dtype),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, 3 * d), f32),
+                   jax.ShapeDtypeStruct((1, 3 * d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * w * (4 * d * d + 2 * block * block * d),
+            bytes_accessed=3 * b * h * w * d * x.dtype.itemsize,
+            transcendentals=b * h * w * num_heads),
+    )(x, gamma, beta, wqkv, bqkv, wout, dout)
+    return (dx, dg, db, dwqkv.astype(wqkv.dtype), dbqkv,
+            dwout.astype(wout.dtype), dbout)
+
+
+_lnattn_nhwc.defvjp(_lnattn_nhwc_fwd, _lnattn_nhwc_bwd)
+
+
+def ln_attention_windows(x: jax.Array, block: int, gamma: jax.Array,
+                         beta: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
+                         wout: jax.Array, bout: jax.Array,
+                         num_heads: int) -> jax.Array:
+    """NesT windowed y = x + OutProj(MHSA(LN(x))) directly on the NHWC
+    token map [B, H, W, D] — no blockify/unblockify transposes; each Pallas
+    program consumes one (block x W) row-strip via its index map.
+    shard_map-wrapped over the batch dim under a multi-device mesh."""
+    from vlp_tpu.ops.kernel_gate import shard_wrap
+
+    interpret = _use_interpret()
+    dt = x.dtype
+    f32 = jnp.float32
+    call = shard_wrap(
+        lambda *a: _lnattn_nhwc(*a, num_heads, block, interpret),
+        x.shape[0], in_batched=(True,) + (False,) * 6, out_batched=True)
+    if call is None:
+        raise ValueError("ln_attention_windows: batch does not divide the "
+                         "mesh — guard with supports_window()")
+    return call(x, gamma.reshape(1, -1).astype(f32),
+                beta.reshape(1, -1).astype(f32), wqkv.astype(dt),
+                bqkv.reshape(1, -1).astype(f32), wout.astype(dt),
+                bout.reshape(1, -1).astype(f32))
