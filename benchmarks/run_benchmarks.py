@@ -241,6 +241,42 @@ def main() -> None:
                                    "step_ms": round(dt * 1e3, 2)}
         print(f"augmentation: {B/dt:.0f} img/s", flush=True)
 
+    # val_epoch: scanned K-batch validation vs per-batch dispatch
+    # (VERDICT r2 #6 acceptance: val-epoch wall time on record)
+    if os.environ.get("BENCH_VAL", "1") == "1":
+        from vlp_tpu.config import Config as _Cfg
+        from vlp_tpu.data.datamodule import build_datamodule
+        from vlp_tpu.models.tasks import build_task as _bt
+
+        for k_scan, label in ((8, "val_epoch_scanned"),
+                              (1, "val_epoch_per_batch")):
+            from vlp_tpu.config import apply_overrides as _ao, \
+                get_experiment as _ge
+            from vlp_tpu.train.loop import Trainer as _Tr
+
+            vcfg = _ge("smoke_synthetic_only_imaging")
+            vcfg = _ao(vcfg, [
+                "model.model=resnet34", "data.image_size=224",
+                "data.batch_size=128", "data.eval_batch_size=128",
+                # enough samples that each val loader holds ~20 batches —
+                # the dispatch-bound regime scanned eval targets (tiny
+                # loaders degenerate to the per-batch path anyway)
+                f"data.synthetic_num_samples={100 * B}",
+                f"trainer.scan_steps={k_scan}",
+            ])
+            dm = build_datamodule(vcfg, mesh=None)
+            fold = next(dm.folds())
+            task = _bt(vcfg, fold.statics)
+            tr = _Tr(vcfg, task, fold.train_loader, fold.val_loaders)
+            tr._validate(0)  # compile + warm
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                tr._validate(0)
+                ts.append(time.perf_counter() - t0)
+            results[label] = {"seconds": round(min(ts), 3)}
+            print(f"{label}: {min(ts):.3f} s", flush=True)
+
     # trainer_loop: the DELIVERED Trainer.fit path (scanned K-step dispatch,
     # host pipeline, device prefetch) on synthetic 224px pretrain data —
     # must stay within ~10% of the vlp_train scan-microbenchmark number
