@@ -290,3 +290,42 @@ class TestHashTokenizerGuard:
         # the detector must agree with whatever get_tokenizer returns
         got = tokenizer_is_hash_fallback("tinybert")
         assert got == isinstance(get_tokenizer("tinybert"), HashTokenizer)
+
+
+class TestReviewRegressions:
+    def test_fold_mean_std_cache_keys_on_options(self, tmp_path):
+        """Stats cached under one preprocessing config must not be reused
+        for another (review r3: the key ignored image_size/crop/etc)."""
+        from vlp_tpu.data.preprocess_host import ImageCache, fold_mean_std
+
+        imgs_a = np.full((4, 8, 8), 10, np.uint8)
+        imgs_b = np.full((4, 8, 8), 200, np.uint8)
+        ca = ImageCache.from_arrays(imgs_a, paths=[f"p{i}" for i in range(4)])
+        cb = ImageCache.from_arrays(imgs_b, paths=[f"p{i}" for i in range(4)])
+        ca.options_key = "size=224|crop=False"
+        cb.options_key = "size=512|crop=True"  # same paths, other config
+        m_a, _ = fold_mean_std(ca, range(4), str(tmp_path))
+        m_b, _ = fold_mean_std(cb, range(4), str(tmp_path))
+        assert m_a == pytest.approx(10.0)
+        assert m_b == pytest.approx(200.0)  # not the cached 10.0
+
+    def test_linear_probe_skips_single_class(self):
+        from vlp_tpu.train.callbacks import LinearProbeCallback
+
+        def extract(_):
+            x = np.random.default_rng(0).normal(size=(10, 4))
+            return x, np.zeros(10, int), x, np.zeros(10, int)
+
+        probe = LinearProbeCallback(extract, every_n_epochs=1)
+        assert probe.on_validation_start(0, {}) == {}  # no crash
+
+    def test_bayes_sweep_all_failed_trials_falls_back(self, tmp_path):
+        from vlp_tpu.train.sweep import SweepEngine
+
+        eng = SweepEngine({"method": "bayes",
+                           "parameters": {"lr": {"values": [1e-3, 1e-4]}}},
+                          str(tmp_path))
+        for _ in range(6):  # past the bayes gate with zero successes
+            eng.history.append({"params": {"lr": 1e-3}, "value": None})
+        out = eng._suggest_bayes()  # must not raise
+        assert out["lr"] in (1e-3, 1e-4)

@@ -241,6 +241,7 @@ class PretrainData:
                                       self.cache_dir)
             statics = TaskStatics(mean=mean, std=std,
                                   out_channels=d.in_channels,
+                                  scale_intensity=d.scale_intensity_normalization,
                                   augment=_augment_config(cfg))
             self._statics_cache[k] = statics
             train_loader = DeviceLoader(

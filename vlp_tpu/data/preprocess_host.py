@@ -200,9 +200,13 @@ class ImageCache:
     once; training epochs read straight out of the mmap into device batches.
     """
 
-    def __init__(self, data: np.ndarray, paths: Sequence[str]) -> None:
+    def __init__(self, data: np.ndarray, paths: Sequence[str],
+                 options_key: Optional[str] = None) -> None:
         self.data = data  # [N, S, S] uint8 (possibly a memmap)
         self.paths = list(paths)
+        # preprocessing-config fingerprint, carried so downstream caches
+        # (fold mean/std) can key on it; falls back to the image size
+        self.options_key = options_key or f"size={data.shape[1]}"
 
     @property
     def image_size(self) -> int:
@@ -231,16 +235,16 @@ class ImageCache:
             from vlp_tpu.native import get_lib
 
             use_native = get_lib() is not None
-        key_parts = [f"size={image_size}", f"crop={crop}",
-                     f"ratio={maximum_crop_ratio}", f"eq={equalize}",
-                     f"native={bool(use_native)}"] + list(paths)
+        opts = (f"size={image_size}|crop={crop}"
+                f"|ratio={maximum_crop_ratio}|eq={equalize}")
+        key_parts = [opts, f"native={bool(use_native)}"] + list(paths)
         key = hash_list_of_strings(key_parts)
         npy = os.path.join(cache_dir, f"imgcache_{key}.npy")
         meta = os.path.join(cache_dir, f"imgcache_{key}.json")
         if os.path.exists(npy) and os.path.exists(meta):
             logger.info("ImageCache: hit %s (%d images)", npy, len(paths))
             data = np.load(npy, mmap_mode="r")
-            return cls(data, paths)
+            return cls(data, paths, options_key=opts)
         logger.info("ImageCache: building %s (%d images)", npy, len(paths))
         n = len(paths)
         arr = np.lib.format.open_memmap(
@@ -268,7 +272,7 @@ class ImageCache:
         with open(meta, "w") as fh:
             json.dump({"num_images": n, "image_size": image_size,
                        "crop": crop, "equalize": equalize}, fh)
-        return cls(np.load(npy, mmap_mode="r"), paths)
+        return cls(np.load(npy, mmap_mode="r"), paths, options_key=opts)
 
     @classmethod
     def from_arrays(cls, images: np.ndarray, paths: Optional[Sequence[str]] = None
@@ -291,7 +295,11 @@ def fold_mean_std(
     no per-epoch MONAI pass needed."""
     idx = list(int(i) for i in indices)
     if cache_dir is not None:
-        key = hash_list_of_strings([cache.paths[i] for i in idx])
+        # key includes the preprocessing-options fingerprint: statistics
+        # computed under one image_size/crop/equalize config must not be
+        # reused for another (the paths alone do not identify the pixels)
+        key = hash_list_of_strings(
+            [cache.options_key] + [cache.paths[i] for i in idx])
         stat_path = os.path.join(cache_dir, f"{key}.json")
         if os.path.exists(stat_path):
             with open(stat_path) as fh:

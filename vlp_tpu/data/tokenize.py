@@ -59,8 +59,15 @@ class HashTokenizer:
         return ids, mask
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def get_tokenizer(name: str):
-    """Returns fn(texts, max_length) -> (ids [N,L] int32, mask [N,L] int32)."""
+    """Returns fn(texts, max_length) -> (ids [N,L] int32, mask [N,L] int32).
+    Cached per name: tokenizer_is_hash_fallback and the tokenize path would
+    otherwise re-load the HF tokenizer files every call, and a transient
+    load failure on a later call could misclassify the tokenizer."""
     hf_name = TOKENIZER_HF_NAMES.get(name, name)
     try:
         import os

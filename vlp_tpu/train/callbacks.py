@@ -127,6 +127,14 @@ class LinearProbeCallback:
         from sklearn.metrics import balanced_accuracy_score, roc_auc_score
 
         x_tr, y_tr, x_va, y_va = self.extract_features(variables)
+        if len(np.unique(y_tr)) < 2 or len(np.unique(y_va)) < 2:
+            # tiny subsampled/synthetic folds can be single-class; a probe
+            # is undefined there — skip instead of killing the run
+            logger.warning(
+                "LinearProbe epoch %d skipped: single-class data "
+                "(train classes %s, val classes %s)", epoch,
+                np.unique(y_tr), np.unique(y_va))
+            return {}
         clf = LogisticRegression(max_iter=self.max_iter)
         clf.fit(np.asarray(x_tr), np.asarray(y_tr))
         probs = clf.predict_proba(np.asarray(x_va))[:, 1]

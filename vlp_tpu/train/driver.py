@@ -164,8 +164,12 @@ def train(cfg: Config) -> Dict[str, float]:
 
     downstream = None
     if is_vlp:
+        import copy as _copy
+
         ds_cfg = Config(**{})
-        ds_cfg.data = cfg.downstream_data
+        # deep copy: train() must not mutate the caller's cfg (the synthetic
+        # rewrite below would leak into logged configs / reused cfg objects)
+        ds_cfg.data = _copy.deepcopy(cfg.downstream_data)
         ds_cfg.mesh = cfg.mesh
         ds_cfg.output_dir = cfg.output_dir
         if cfg.data.name.startswith("synthetic"):
@@ -265,18 +269,24 @@ def _evaluate_test_set(cfg: Config, dm, mesh) -> Dict[str, float]:
     from vlp_tpu.eval.subgroup import evaluate_results
     from vlp_tpu.eval.test_eval import collect_probs
 
-    ckpts = []
-    for fold_dir in sorted(glob.glob(os.path.join(
-            cfg.output_dir, "checkpoints", "fold*"))):
+    ckpts = []  # (fold_index, best_ckpt_path) — index parsed from the
+    # directory name so a fold without checkpoints (crash) cannot shift
+    # later folds onto the wrong statistics; numeric sort (fold10 > fold2)
+    for fold_dir in sorted(
+            glob.glob(os.path.join(cfg.output_dir, "checkpoints", "fold*")),
+            key=lambda p: int(os.path.basename(p)[4:])):
         paths = sorted(p for p in glob.glob(os.path.join(fold_dir, "epoch*"))
                        if os.path.isdir(p))  # skip .meta.json sidecars
         if paths:
-            ckpts.append(paths[-1])
+            ckpts.append((int(os.path.basename(fold_dir)[4:]), paths[-1]))
+        else:
+            logger.warning("test=True: %s has no checkpoints; its fold is "
+                           "skipped", fold_dir)
     if not ckpts:
         logger.warning("test=True but no checkpoints found; skipping")
         return {}
     dfs = [collect_probs(cfg, path, dm, fold, mesh)
-           for fold, path in enumerate(ckpts)]
+           for fold, path in ckpts]
     out_csv = os.path.join(cfg.output_dir, "test_eval.csv")
     results = evaluate_results(out_csv, dfs)
     overall = results[(results.level == "overall")]
@@ -334,16 +344,23 @@ def _downstream_precision_at_k(cfg: Config, trainer: Trainer,
     from vlp_tpu.ops.retrieval import label_precision_at_k
     from vlp_tpu.train.step import collect_over_loader
 
+    import copy
+
     best = trainer.checkpointer.restore_best(
         {"params": trainer.state.params,
          "extra_vars": trainer.state.extra_vars})
     variables = {"params": best["params"], **best["extra_vars"]}
     fold = next(downstream.folds())
+    # embed with the DOWNSTREAM fold's normalization statics (same view the
+    # per-epoch probe/p@k callbacks use) — trainer.task carries the
+    # PRETRAIN fold's mean/std, which would mis-normalize these images
+    eval_task = copy.copy(trainer.task)
+    eval_task.statics = fold.statics
     embs, labels = [], []
     loaders = [fold.train_loader] + list(fold.val_loaders.values())
     for loader in loaders:
         e, y = collect_over_loader(
-            trainer.task.embed_images_fn, variables, loader,
+            eval_task.embed_images_fn, variables, loader,
             max(1, cfg.trainer.scan_steps), mesh, cfg.mesh.axis_name)
         embs.append(e)
         labels.append(y)

@@ -170,21 +170,32 @@ def make_scanned_metric_eval_step(task: BaseTask, num_steps: int,
                    out_shardings=repl)
 
 
-_COLLECT_CACHE: Dict = {}
+_COLLECT_CACHE: "OrderedDict" = None  # built lazily below
+_COLLECT_CACHE_MAX = 16  # a fold holds ~2-3 entries; sweeps/folds churn
 
 
 def _cached_apply_fns(fn, scan_steps, mesh, axis_name):
     """Memoized (single, scan) jit wrappers per underlying function —
     rebuilding them per call would re-trace NesT/ViT-sized programs every
     probe epoch. Bound methods hash by (instance, function) so repeated
-    attribute access maps to one entry."""
+    attribute access maps to one entry. LRU-bounded so long in-process
+    sweeps don't retain every trial's task + compiled programs forever."""
+    from collections import OrderedDict
+
+    global _COLLECT_CACHE
+    if _COLLECT_CACHE is None:
+        _COLLECT_CACHE = OrderedDict()
     key = (getattr(fn, "__self__", None), getattr(fn, "__func__", fn),
            scan_steps, mesh, axis_name)
-    if key not in _COLLECT_CACHE:
+    if key in _COLLECT_CACHE:
+        _COLLECT_CACHE.move_to_end(key)
+    else:
         single = make_apply_fn(fn, mesh, axis_name)
         scan = make_scanned_apply_fn(fn, scan_steps, mesh, axis_name) \
             if scan_steps > 1 else None
         _COLLECT_CACHE[key] = (single, scan)
+        while len(_COLLECT_CACHE) > _COLLECT_CACHE_MAX:
+            _COLLECT_CACHE.popitem(last=False)
     return _COLLECT_CACHE[key]
 
 

@@ -93,6 +93,9 @@ class SweepEngine:
         from sklearn.ensemble import RandomForestRegressor
 
         done = [h for h in self.history if h.get("value") is not None]
+        if not done:  # every recorded trial failed: nothing to fit
+            return {k: sample_parameter(self.rng, s)
+                    for k, s in self.parameters.items()}
         keys = list(self.parameters)
         x = np.array([[self._numeric(h["params"][k]) for k in keys]
                       for h in done])
