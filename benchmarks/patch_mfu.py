@@ -37,24 +37,12 @@ def main() -> None:
     K = int(res.get("steps_per_measurement", 10))
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
-    entries = {
-        "vlp_train": {"task": "vision_language", "model": "resnet34",
-                      "text_model": "tinybert"},
-        "classifier_train": {"task": "only_imaging", "model": "resnet34",
-                             "coral_lambda": 1000.0},
-        "fusion_train": {"task": "fusion", "model": "resnet34"},
-        "backbone_nest_small": {"task": "only_imaging",
-                                "model": "nest_small"},
-        "backbone_nest_small_unfused": {"task": "only_imaging",
-                                        "model": "nest_small",
-                                        "fused_attention": False},
-        "backbone_vit_base": {"task": "only_imaging",
-                              "model": "vit_base_patch16_224"},
-        "backbone_vit_base_unfused": {"task": "only_imaging",
-                                      "model": "vit_base_patch16_224",
-                                      "fused_attention": False},
-        "backbone_resnet50": {"task": "only_imaging", "model": "resnet50"},
-    }
+    # the entry -> config table is OWNED by run_benchmarks.py (the timed
+    # run); importing it keeps this re-annotation from silently diverging
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run_benchmarks import BACKBONE_ENTRIES, TRAIN_ENTRIES
+
+    entries = {**TRAIN_ENTRIES, **BACKBONE_ENTRIES}
     # inference entry: eval_fn forward only
     if "classifier_infer" in res and "step_ms" in res["classifier_infer"]:
         cfg = Config()
@@ -129,10 +117,12 @@ def main() -> None:
         res[name]["hlo_mfu_pct"] = round(100 * tf / peak, 1)
         print(f"{name}: {f/1e12:.3f} TF/step, {tf:.1f} TF/s, "
               f"{100*tf/peak:.1f}% MFU", flush=True)
-    res["mfu_convention"] = (
+    # keep the (richer) convention note the timed run recorded; only fill
+    # it in when re-annotating a results file that predates MFU columns
+    res.setdefault("mfu_convention", (
         "model FLOPs = XLA unoptimized-HLO cost analysis of the pure-XLA "
         "lowering (VLP_DISABLE_PALLAS); includes augmentation/loss/"
-        "optimizer; peak = %s TFLOP/s bf16" % peak)
+        "optimizer; peak = %s TFLOP/s bf16" % peak))
     with open(path, "w") as fh:
         json.dump(res, fh, indent=2)
     print(f"patched {path}")

@@ -26,6 +26,32 @@ os.environ.setdefault(
                  ".jax_cache", "tpu"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# Entry name -> model-config overrides applied to Config().model — the
+# SINGLE SOURCE OF TRUTH shared with patch_mfu.py's offline CPU FLOPs
+# re-annotation: adding or changing an entry here updates both the timed
+# run and the re-annotation (hand-copied tables silently diverge).
+TRAIN_ENTRIES = {
+    "vlp_train": {"task": "vision_language", "model": "resnet34",
+                  "text_model": "tinybert"},
+    "classifier_train": {"task": "only_imaging", "model": "resnet34",
+                         "coral_lambda": 1000.0},
+    "fusion_train": {"task": "fusion", "model": "resnet34"},
+}
+# default = Pallas fused block kernels (the shipped path); _unfused pins
+# the plain-XLA variant for the before/after record
+BACKBONE_ENTRIES = {
+    "backbone_nest_small": {"task": "only_imaging", "model": "nest_small"},
+    "backbone_nest_small_unfused": {
+        "task": "only_imaging", "model": "nest_small",
+        "fused_attention": False},
+    "backbone_vit_base": {"task": "only_imaging",
+                          "model": "vit_base_patch16_224"},
+    "backbone_vit_base_unfused": {
+        "task": "only_imaging", "model": "vit_base_patch16_224",
+        "fused_attention": False},
+    "backbone_resnet50": {"task": "only_imaging", "model": "resnet50"},
+}
+
 
 def main() -> None:
     import jax
@@ -154,34 +180,15 @@ def main() -> None:
               flush=True)
 
     if os.environ.get("BENCH_TRAIN", "1") == "1":
-        measure_train("vlp_train", {"task": "vision_language",
-                                    "model": "resnet34",
-                                    "text_model": "tinybert"})
-        measure_train("classifier_train", {"task": "only_imaging",
-                                           "model": "resnet34",
-                                           "coral_lambda": 1000.0})
-        measure_train("fusion_train", {"task": "fusion",
-                                       "model": "resnet34"})
+        for name, task_cfg in TRAIN_ENTRIES.items():
+            measure_train(name, task_cfg)
 
     # transformer/large backbones through the same real-optimizer scan
     # (supersedes the hand-recorded backbone_train_images_per_sec entries);
     # nest is recorded with and without the Pallas fused block-attention
     if os.environ.get("BENCH_BACKBONES", "1") == "1":
-        # default = Pallas fused block kernels (the shipped path); _unfused
-        # pins the plain-XLA variant for the before/after record
-        measure_train("backbone_nest_small",
-                      {"task": "only_imaging", "model": "nest_small"})
-        measure_train("backbone_nest_small_unfused",
-                      {"task": "only_imaging", "model": "nest_small",
-                       "fused_attention": False})
-        measure_train("backbone_vit_base",
-                      {"task": "only_imaging",
-                       "model": "vit_base_patch16_224"})
-        measure_train("backbone_vit_base_unfused",
-                      {"task": "only_imaging", "model": "vit_base_patch16_224",
-                       "fused_attention": False})
-        measure_train("backbone_resnet50",
-                      {"task": "only_imaging", "model": "resnet50"})
+        for name, task_cfg in BACKBONE_ENTRIES.items():
+            measure_train(name, task_cfg)
 
     if os.environ.get("BENCH_INFER", "1") == "1":
         # inference

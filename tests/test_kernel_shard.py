@@ -173,9 +173,11 @@ class TestShardedAugmentKernels:
                                       dtype=jnp.float32)
         out_m = np.asarray(out_m).copy()
         set_kernel_mesh(None)
-        # module-level jit: drop the mesh-wrapped trace or the second call
-        # would reuse it and the comparison would be vacuous
-        augment_and_normalize.clear_cache()
+        # NO manual cache clearing: the static dispatch_key
+        # (kernel_gate.kernel_dispatch_key) must force the retrace by
+        # itself — regression for the stale-dispatch jit-cache hazard
+        # (a mesh-wrapped trace reused after the mesh is gone, or a
+        # pre-mesh XLA trace reused under a mesh)
         out_1 = augment_and_normalize(x, key, jnp.float32(128.0),
                                       jnp.float32(30.0), cfg,
                                       dtype=jnp.float32)

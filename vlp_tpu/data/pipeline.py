@@ -143,32 +143,42 @@ class ResidentCorpus:
         self.axis_name = axis_name
         data = np.asarray(cache.data)
         take = lambda imgs, idx: jnp.take(imgs, idx, axis=0, mode="clip")
+        self._take1 = None  # standalone jit wrappers, built lazily
+        self._takek = None
         if mode == "local":
             self.images = jax.device_put(data)
             self._take_fn1 = self._take_fnk = take
-            self._take1 = _gather_images
-            self._takek = _gather_images
             return
         if mode == "replicated":
             self.images = jax.device_put(data, NamedSharding(mesh, P()))
             self._take_fn1 = self._take_fnk = take
-            self._take1 = jax.jit(
-                take, out_shardings=NamedSharding(mesh, P(axis_name)))
-            self._takek = jax.jit(
-                take, out_shardings=NamedSharding(mesh, P(None, axis_name)))
             return
         assert mode == "sharded"
         n = mesh.size
-        pad = (-len(data)) % n
-        if pad:  # rows must divide over the mesh
-            data = np.concatenate(
-                [data, np.zeros((pad,) + data.shape[1:], data.dtype)])
-        self.images = jax.device_put(
-            data, NamedSharding(mesh, P(axis_name)))
+        total = len(data)
+        padded = total + (-total) % n  # rows must divide over the mesh
+        rest = data.shape[1:]
+
+        def _shard(index):
+            # per-shard slices straight off the (possibly memory-mapped)
+            # cache: sharded mode exists precisely because the corpus is
+            # too big per chip, so never np.concatenate/copy the whole
+            # thing into host RAM just to pad the tail
+            sl = index[0]
+            start = sl.start or 0
+            stop = padded if sl.stop is None else sl.stop
+            if stop <= total:
+                return data[start:stop]
+            out = np.zeros((stop - start,) + rest, data.dtype)
+            avail = max(0, total - start)
+            if avail:
+                out[:avail] = data[start:total]
+            return out
+
+        self.images = jax.make_array_from_callback(
+            (padded,) + rest, NamedSharding(mesh, P(axis_name)), _shard)
         self._take_fn1 = self._sharded_gather([0])
         self._take_fnk = self._sharded_gather([None, 0])
-        self._take1 = jax.jit(self._take_fn1)
-        self._takek = jax.jit(self._take_fnk)
 
     def _sharded_gather(self, idx_dims):
         """shard_map gather over row-sharded images. ``idx_dims``: which
@@ -215,12 +225,32 @@ class ResidentCorpus:
         spec = P(self.axis_name) if idx.ndim == 1 else P(None, self.axis_name)
         return jax.device_put(idx, NamedSharding(self.mesh, spec))
 
+    def _standalone_jit(self, chunked: bool):
+        """jit wrapper around the SAME ``take_callable`` body the loader's
+        composed one-dispatch assemble traces (single source of truth for
+        the gather semantics — a change to index dtype/sharding hits both
+        paths). Standalone dispatch serves tests/dryrun and ad-hoc callers
+        only, so the wrappers are built lazily, not in __init__."""
+        fn = self.take_callable(chunked)
+        if self.mode == "local":
+            return _gather_images
+        if self.mode == "replicated":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(None, self.axis_name) if chunked else P(self.axis_name)
+            return jax.jit(fn, out_shardings=NamedSharding(self.mesh, spec))
+        return jax.jit(fn)
+
     def gather(self, idx: np.ndarray):
         """[B] indices -> [B, ...] batch-sharded pixels on device."""
+        if self._take1 is None:
+            self._take1 = self._standalone_jit(chunked=False)
         return self._take1(self.images, self._put_idx(idx))
 
     def gather_chunk(self, idx: np.ndarray):
         """[K, B] indices -> [K, B, ...] pixels sharded on dim 1."""
+        if self._takek is None:
+            self._takek = self._standalone_jit(chunked=True)
         return self._takek(self.images, self._put_idx(idx))
 
     def take_callable(self, chunked: bool):
@@ -448,11 +478,14 @@ class DeviceLoader:
         """Yield ('chunk', [K,B,...] pytree) for every full group of k
         batches and ('single', [B,...] batch) for the ragged tail — the
         scanned train step is compiled once for length k, tail batches reuse
-        the per-step program. Prefetched like __iter__ with a depth-2 chunk
-        queue: on the resident path a queued chunk is only indices + async
-        gather handles (cheap), and depth 2 keeps the device fed across the
-        epoch-end Python gap (VERDICT r2 #3)."""
-        q: "queue.Queue" = queue.Queue(maxsize=2)
+        the per-step program. Prefetched like __iter__. On the resident path
+        a queued chunk is only indices + async gather handles (cheap), so
+        depth 2 keeps the device fed across the epoch-end Python gap
+        (VERDICT r2 #3); on the host fallback path every queued chunk is K
+        full device pixel batches — and the fallback fires exactly when the
+        corpus was too big to be resident — so keep depth 1 there."""
+        q: "queue.Queue" = queue.Queue(
+            maxsize=2 if self._corpus is not None else 1)
         stop = threading.Event()
 
         def items():

@@ -119,7 +119,7 @@ class NesT(nn.Module):
         feats = self.forward_features(x, train)
         return self.forward_head(feats, train)
 
-    def _level_uses_nhwc(self, x) -> bool:
+    def _level_uses_nhwc(self, x, li: int) -> bool:
         """Blockify-free windowed megakernel path for this level's shapes:
         attention runs straight on the NHWC map (ops/fused_block.py
         ln_attention_windows) — no blockify/unblockify transposes."""
@@ -135,8 +135,10 @@ class NesT(nn.Module):
         mesh, _ = active_kernel_mesh()
         shards = mesh.size if mesh is not None else 1
         itemsize = jnp.dtype(self.dtype).itemsize
-        heads = self.num_heads[self.embed_dims.index(d)] \
-            if d in self.embed_dims else 0
+        # index by LEVEL, not by dim value: embed_dims may repeat (e.g.
+        # (192, 192, 384)), where .index(d) would return the wrong level's
+        # head count
+        heads = self.num_heads[li] if d == self.embed_dims[li] else 0
         return b % shards == 0 and heads > 0 and FB.supports_window(
             b // shards, h, w, d, heads, self.block_size, itemsize)
 
@@ -144,7 +146,7 @@ class NesT(nn.Module):
         x = self.patch_embed(x.astype(self.dtype))  # [B, 56, 56, 96]
         size = x.shape[1]
         for li, blocks in enumerate(self.levels):
-            if self._level_uses_nhwc(x):
+            if self._level_uses_nhwc(x, li):
                 # pos embed is STORED blockified ([1, nb, S, D] — the
                 # checkpoint layout); unblockify once per step (tiny)
                 pe = unblockify(self.pos_embeds[li].astype(self.dtype),

@@ -122,10 +122,6 @@ def _warp_one(img: jax.Array, tx, ty, theta, zoom, shear) -> jax.Array:
     return _bilinear_warp(img, src_y, src_x)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "out_channels", "dtype", "scale_intensity"),
-)
 def augment_and_normalize(
     images_u8: jax.Array,  # [B, H, W] uint8
     rng: jax.Array,
@@ -140,7 +136,36 @@ def augment_and_normalize(
 
     scale_intensity=True selects the torchxrayvision path
     0..255 -> −1024..1024 (reference DownstreamDataModule.py:274).
+
+    Thin dispatcher: the jitted body consults the kernel gate at TRACE
+    time, so the gate's process-global state rides in as the static
+    ``dispatch_key`` — registering a mesh (or toggling VLP_DISABLE_PALLAS)
+    forces a retrace instead of silently reusing a stale-dispatch jaxpr.
     """
+    from vlp_tpu.ops.kernel_gate import kernel_dispatch_key
+
+    return _augment_and_normalize_jit(
+        images_u8, rng, mean, std, cfg=cfg, out_channels=out_channels,
+        dtype=dtype, scale_intensity=scale_intensity,
+        dispatch_key=kernel_dispatch_key())
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "out_channels", "dtype", "scale_intensity",
+                     "dispatch_key"),
+)
+def _augment_and_normalize_jit(
+    images_u8: jax.Array,
+    rng: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    cfg: AugmentConfig,
+    out_channels: int,
+    dtype: jnp.dtype,
+    scale_intensity: bool,
+    dispatch_key=None,
+) -> jax.Array:
     from vlp_tpu.ops.kernel_gate import mosaic_ok, shard_wrap
 
     x = images_u8.astype(jnp.float32)
@@ -194,6 +219,12 @@ def augment_and_normalize(
     return x.astype(dtype)
 
 
+# test/bench compat: the old jitted entry exposed clear_cache()
+augment_and_normalize.clear_cache = _augment_and_normalize_jit.clear_cache
+
+
+# dispatch-free (no kernel-gate consultation): a plain module-level jit
+# cache is safe here
 @functools.partial(
     jax.jit, static_argnames=("out_channels", "dtype", "scale_intensity")
 )

@@ -49,6 +49,26 @@ def active_kernel_mesh() -> Tuple[Optional[object], Optional[str]]:
     return mesh, axis
 
 
+def kernel_dispatch_key() -> Tuple:
+    """Hashable token capturing every process-global input to kernel
+    dispatch: backend, the ``VLP_DISABLE_PALLAS`` / ``VLP_PALLAS_INTERPRET``
+    env switches, and the active kernel mesh.
+
+    Module-level jit-cached functions that consult the gate at trace time
+    (``ops.augment.augment_and_normalize``) must take this as a static
+    argument: jit keys only on shapes/statics, so without it a trace made
+    before ``set_kernel_mesh`` (warmup, test ordering) would be silently
+    reused afterward with the wrong dispatch baked in — or a shard_map
+    trace bound to a stale mesh would outlive the mesh it captured."""
+    import os
+
+    mesh, axis = active_kernel_mesh()
+    return (jax.default_backend(),
+            os.environ.get("VLP_DISABLE_PALLAS", "0"),
+            os.environ.get("VLP_PALLAS_INTERPRET", "0"),
+            None if mesh is None else (mesh, axis))
+
+
 def mosaic_ok() -> bool:
     """True when real Mosaic kernels can run: TPU backend, and either a
     single device or a registered mesh to shard_map over.
