@@ -534,3 +534,104 @@ def baseline_only_imaging_nest_small_coral(cfg: Config) -> Config:
     cfg = baseline_only_imaging_nest_small(cfg)
     cfg.model.coral_lambda = 1000.0
     return cfg
+
+
+# --------------------------------------------------------------------------
+# Final file-level parity batch: the last reference yamls without a 1:1
+# registered counterpart (tuned values cited per file).
+# --------------------------------------------------------------------------
+
+@register_experiment("baseline_only_imaging_nest_small_best_k_fold")
+def baseline_only_imaging_nest_small_best_k_fold(cfg: Config) -> Config:
+    """Reference baseline_only_imaging_best_nest_small_k_fold.yaml (and the
+    single-run duplicate baseline_only_imaging_best_nest_small.yaml /
+    ..._with_STOSOP_augmentations.yaml): tuned NesT pick — Adam,
+    no scheduler, lr 5.480785862708334e-5, batch 16, coral 0, noise
+    augmentation off, 300 epochs, k-fold CV."""
+    cfg = baseline_only_imaging_nest_small(cfg)
+    cfg.optimizer.name = "adam"
+    cfg.scheduler.name = "none"
+    cfg.optimizer.lr = 5.480785862708334e-5
+    cfg.data.batch_size = 16
+    cfg.data.gaussian_noise_augmentation = False
+    cfg.trainer.max_epochs = 300
+    return cfg
+
+
+@register_experiment("baseline_only_imaging_nest_small_sweep_k_fold")
+def baseline_only_imaging_nest_small_sweep_k_fold(cfg: Config) -> Config:
+    """Reference baseline_only_imaging_nest_small_best_of_sweep_as_kfold_cv
+    .yaml: same tuned pick rerun under the default callback bundle with
+    noise augmentation on."""
+    cfg = baseline_only_imaging_nest_small_best_k_fold(cfg)
+    cfg.data.gaussian_noise_augmentation = True
+    return cfg
+
+
+@register_experiment("baseline_only_imaging_resnet34_sweep_k_fold")
+def baseline_only_imaging_resnet34_sweep_k_fold(cfg: Config) -> Config:
+    """Reference baseline_only_imaging_resnet_34_best_of_sweep_as_kfold_cv
+    .yaml: the sweep pick as k-fold CV WITHOUT the coral/STOSOP additions
+    (AdamW, cosine-with-warmup, lr 1.2925748253710286e-4, batch 64,
+    300 epochs)."""
+    cfg = baseline_only_imaging_resnet34(cfg)
+    cfg.model.coral_lambda = 0.0
+    cfg.data.crop_larger_dimension = False
+    cfg.trainer.max_epochs = 300
+    return cfg
+
+
+@register_experiment("fusion_xrv_resnet50_best_k_fold")
+def fusion_xrv_resnet50_best_k_fold(cfg: Config) -> Config:
+    """Reference baseline_imaging_and_clinical_resnet50_pretrained_best_
+    sweep_k_fold.yaml: xrv fusion sweep pick — cosine scheduler, batch 8,
+    coral 1000, lr 5.066641484878657e-4, 300 epochs, k-fold CV."""
+    cfg = fusion_xrv_resnet50(cfg)
+    cfg.scheduler.name = "cosine"
+    cfg.data.batch_size = 8
+    cfg.model.coral_lambda = 1000.0
+    cfg.optimizer.lr = 5.066641484878657e-4
+    cfg.trainer.max_epochs = 300
+    return cfg
+
+
+@register_experiment("fusion_xrv_resnet50_setup_test")
+def fusion_xrv_resnet50_setup_test(cfg: Config) -> Config:
+    """Reference baseline_imaging_and_clinical_resnet50_pretrained.yaml
+    (project 'setup-testing'): tiny smoke of the pretrained fusion path —
+    batch 4, 100 samples, coral 0, lr 1e-3, 30 epochs, single split."""
+    cfg = fusion_xrv_resnet50(cfg)
+    cfg.scheduler.name = "none"
+    cfg.data.batch_size = 4
+    cfg.data.try_with_only_n_samples = 100
+    cfg.model.coral_lambda = 0.0
+    cfg.optimizer.lr = 1e-3
+    cfg.trainer.max_epochs = 30
+    cfg.k_fold_cross_validation = False
+    return cfg
+
+
+@register_experiment("vlp_finetune_fusion_resnet34_frozen_encoder")
+def vlp_finetune_fusion_resnet34_frozen_encoder(cfg: Config) -> Config:
+    """Reference finetune_imaging_and_clinical_resnet_34_frozen_vision_
+    encoder.yaml: VLP-warm-started fusion with the vision tower FROZEN via
+    vision_encoder_lr=0 (the reference's lr-0-removes-the-group mechanism),
+    batch 8, coral 1000, lr 8.503173273116282e-4."""
+    cfg = vlp_finetune_fusion_resnet34(cfg)
+    cfg.model.vision_encoder_lr = 0.0
+    cfg.data.batch_size = 8
+    cfg.model.coral_lambda = 1000.0
+    cfg.k_fold_cross_validation = False
+    return cfg
+
+
+@register_experiment("pretrain_resnet34_tinybert_overfit")
+def pretrain_resnet34_tinybert_overfit(cfg: Config) -> Config:
+    """Reference pretrain_resnet34_tinybert_overfit.yaml: AdamW, no
+    scheduler, augmentations off, no early stopping, 100 epochs."""
+    cfg = pretrain_resnet34_tinybert(cfg)
+    cfg.scheduler.name = "none"
+    cfg.data.disable_augmentations = True
+    cfg.trainer.early_stopping_monitor = None
+    cfg.trainer.max_epochs = 100
+    return cfg

@@ -55,6 +55,23 @@ def _ln_bwd_dx(dxh, xh, inv):
 # ln_attention: y = x + OutProj(MHSA(LN(x)))
 # ==========================================================================
 
+def _transposed_mm() -> bool:
+    """Opt-in (VLP_MEGA_TRANSPOSED=1): orient the small-width attention
+    matmuls (PV, dV, dQ, dK) with the Dh=32 head dim on the M
+    (streaming/sublane) axis instead of the 128-padded N/K lane axis:
+    O^T = V^T P^T etc. On paper this cuts those matmuls' MXU padding from
+    4x (Dh=32 -> 128 lanes) to the S->next-128 pad (196 -> 256 = 1.31x).
+
+    MEASURED SLOWER on v5e and left OFF by default: nest_small train 752
+    vs 878 img/s (-14%), vit_base 1035 vs 1050. The reoriented contraction
+    lands on dim 1 of the stationary [S, S] probability operand, so Mosaic
+    relayouts/transposes P per head in VMEM — costing more than the lane
+    padding it saves (DESIGN.md §7b negative results)."""
+    import os
+
+    return os.environ.get("VLP_MEGA_TRANSPOSED", "0") == "1"
+
+
 def _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype):
     """Per-head softmax attention on packed [S, 3D] bf16; returns [S, D]."""
     d = num_heads * head_dim
@@ -73,6 +90,72 @@ def _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype):
                     preferred_element_type=jnp.float32) / l
         outs.append(o.astype(dtype))
     return jnp.concatenate(outs, axis=-1)  # [S, D]
+
+
+def _attn_heads_fwd_t(qkv, num_heads, head_dim, scale, dtype):
+    """Transposed-output attention on packed [S, 3D]: returns o^T [D, S].
+    The PV matmul runs as o_h^T = V_h^T P_h^T (M=Dh streams on sublanes,
+    lanes carry S) — see _transposed_mm. Normalization folds into P before
+    the matmul (P * 1/l), same math as the deferred division."""
+    d = num_heads * head_dim
+    outs = []
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = qkv[:, lo:lo + head_dim]
+        k = qkv[:, d + lo:d + lo + head_dim]
+        v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        inv_l = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        pn = (p * inv_l).astype(dtype)
+        # o_h^T[a, j] = sum_i v[i, a] * pn[j, i]
+        ot = jax.lax.dot_general(v, pn, (((0,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        outs.append(ot.astype(dtype))
+    return jnp.concatenate(outs, axis=0)  # [D, S]
+
+
+def _attn_heads_bwd_t(qkv, do, num_heads, head_dim, scale, dtype):
+    """Gradient wrt packed qkv given do [S, D] f32, TRANSPOSED layout:
+    returns dqkv^T [3D, S] f32. dV/dQ/dK run with Dh on the M axis
+    (contraction over S instead of a 32->128-padded N); the dP matmul
+    keeps the irreducible Dh-wide contraction like _attn_heads_bwd."""
+    d = num_heads * head_dim
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = qkv[:, lo:lo + head_dim]
+        k = qkv[:, d + lo:d + lo + head_dim]
+        v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
+        doh = do[:, lo:lo + head_dim].astype(dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        inv_l = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(dtype)
+        dov = (doh.astype(jnp.float32) * inv_l).astype(dtype)
+        # dv^T[a, j] = sum_i dov[i, a] * pb[i, j]
+        dv_t = jax.lax.dot_general(dov, pb, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(doh, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        t = p * dp
+        c = jnp.sum(t, axis=-1, keepdims=True) * inv_l
+        ds = (t - p * c) * inv_l
+        dsb = ds.astype(dtype)
+        # dq^T[a, i] = scale * sum_j k[j, a] * ds[i, j]
+        dqs.append(jax.lax.dot_general(
+            k, dsb, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+        # dk^T[a, j] = scale * sum_i q[i, a] * ds[i, j]
+        dks.append(jax.lax.dot_general(
+            q, dsb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+        dvs.append(dv_t)
+    return jnp.concatenate(dqs + dks + dvs, axis=0)  # [3D, S] f32
 
 
 def _attn_heads_bwd(qkv, do, num_heads, head_dim, scale, dtype):
@@ -109,8 +192,24 @@ def _attn_heads_bwd(qkv, do, num_heads, head_dim, scale, dtype):
     return jnp.concatenate(dqs + dks + dvs, axis=-1)  # [S, 3D] f32
 
 
+def _attn_out(qkv, wout, bout, num_heads, head_dim, scale, dtype,
+              transposed):
+    """MHSA + out-projection on packed qkv [S, 3D] -> [S, D] (pre-bias
+    residual add left to the caller). The transposed orientation computes
+    o^T [D, S] and contracts it against wout over dim 0 — mathematically
+    the same y, no in-kernel transposes (see _transposed_mm)."""
+    if transposed:
+        ot = _attn_heads_fwd_t(qkv, num_heads, head_dim, scale, dtype)
+        return jax.lax.dot_general(
+            ot, wout, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bout
+    o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
+    return jnp.dot(o, wout, preferred_element_type=jnp.float32) + bout
+
+
 def _lnattn_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
-                       bout_ref, y_ref, *, num_heads, head_dim, scale):
+                       bout_ref, y_ref, *, num_heads, head_dim, scale,
+                       transposed):
     dtype = x_ref.dtype
     for i in range(x_ref.shape[0]):
         x = x_ref[i].astype(jnp.float32)            # [S, D]
@@ -119,16 +218,76 @@ def _lnattn_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         qkv = (jnp.dot(ln, wqkv_ref[...],
                        preferred_element_type=jnp.float32)
                + bqkv_ref[...]).astype(dtype)       # [S, 3D]
-        o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
-        y = jnp.dot(o, wout_ref[...],
-                    preferred_element_type=jnp.float32) + bout_ref[...]
+        y = _attn_out(qkv, wout_ref[...], bout_ref[...], num_heads,
+                      head_dim, scale, dtype, transposed)
         y_ref[i] = (x + y).astype(dtype)
+
+
+def _attn_block_bwd_rows(x, dy, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                         dg_ref, db_ref, dwqkv_ref, dbqkv_ref, dwout_ref,
+                         dbout_ref, num_heads, head_dim, scale, dtype,
+                         transposed):
+    """Shared per-sample backward body (row and NHWC kernels): given x/dy
+    f32 [S, D], accumulate every weight grad and return dx [S, D] f32.
+    In transposed mode dwqkv/dbqkv accumulate as [3D, D]/[3D, 1] (the
+    natural layout of dqkv^T) — _lnattn_bwd transposes them back."""
+    xh, inv = _ln_fwd(x)
+    ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
+    qkv = (jnp.dot(ln, wqkv_ref[...],
+                   preferred_element_type=jnp.float32)
+           + bqkv_ref[...]).astype(dtype)
+    dyb = dy.astype(dtype)
+    # TWO separate head passes (o for dWout, then dqkv), each with its
+    # own softmax recompute. A unified single-recompute loop holding
+    # o_h + dq/dk/dv lists live across heads measured 1.7% SLOWER on
+    # v5e (862 vs 878 img/s nest_small) — the longer VMEM live ranges
+    # cost more than the extra scores+exp pass saves.
+    if transposed:
+        ot = _attn_heads_fwd_t(qkv, num_heads, head_dim, scale, dtype)
+        dwout_ref[...] += jax.lax.dot_general(
+            ot, dyb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
+        dwout_ref[...] += jax.lax.dot_general(
+            o, dyb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dbout_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    do = jax.lax.dot_general(dyb, wout_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if transposed:
+        dqkv_t = _attn_heads_bwd_t(qkv, do, num_heads, head_dim, scale,
+                                   dtype)
+        dqkvb = dqkv_t.astype(dtype)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            dqkvb, ln, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [3D, D]
+        dbqkv_ref[...] += jnp.sum(dqkv_t, axis=1, keepdims=True)
+        dln = jax.lax.dot_general(
+            dqkvb, wqkv_ref[...], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        dqkv = _attn_heads_bwd(qkv, do, num_heads, head_dim, scale, dtype)
+        dqkvb = dqkv.astype(dtype)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            ln, dqkvb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+        dln = jax.lax.dot_general(dqkvb, wqkv_ref[...],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
+    dxh = dln * g_ref[...]
+    return dy + _ln_bwd_dx(dxh, xh, inv)
 
 
 def _lnattn_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                        dout_ref,
                        dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref,
-                       dwout_ref, dbout_ref, *, num_heads, head_dim, scale):
+                       dwout_ref, dbout_ref, *, num_heads, head_dim, scale,
+                       transposed):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dg_ref[...] = jnp.zeros_like(dg_ref)
@@ -141,39 +300,11 @@ def _lnattn_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
     dtype = x_ref.dtype
     for i in range(x_ref.shape[0]):
         x = x_ref[i].astype(jnp.float32)
-        xh, inv = _ln_fwd(x)
-        ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
-        qkv = (jnp.dot(ln, wqkv_ref[...],
-                       preferred_element_type=jnp.float32)
-               + bqkv_ref[...]).astype(dtype)
-        # TWO separate head passes (o for dWout, then dqkv), each with its
-        # own softmax recompute. A unified single-recompute loop holding
-        # o_h + dq/dk/dv lists live across heads measured 1.7% SLOWER on
-        # v5e (862 vs 878 img/s nest_small) — the longer VMEM live ranges
-        # cost more than the extra scores+exp pass saves.
-        o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
         dy = dout_ref[i].astype(jnp.float32)        # residual pass-through
-        dyb = dy.astype(dtype)
-        dwout_ref[...] += jax.lax.dot_general(
-            o, dyb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbout_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
-        do = jax.lax.dot_general(dyb, wout_ref[...],
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dqkv = _attn_heads_bwd(qkv, do, num_heads, head_dim, scale, dtype)
-        dqkvb = dqkv.astype(dtype)
-        dwqkv_ref[...] += jax.lax.dot_general(
-            ln, dqkvb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
-        dln = jax.lax.dot_general(dqkvb, wqkv_ref[...],
-                                  (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
-        db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
-        dxh = dln * g_ref[...]
-        dx_ref[i] = (dy + _ln_bwd_dx(dxh, xh, inv)).astype(dtype)
+        dx_ref[i] = _attn_block_bwd_rows(
+            x, dy, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+            dg_ref, db_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+            num_heads, head_dim, scale, dtype, transposed).astype(dtype)
 
 
 def _attn_group(n: int, s: int, d: int, heads: int, itemsize: int) -> int:
@@ -225,7 +356,8 @@ def _lnattn_fwd(x, gamma, beta, wqkv, bqkv, wout, bout, num_heads,
             f"ln_attention unsupported for N={n}, S={s}, D={d} — guard "
             "calls with supports_attn()")
     kernel = functools.partial(_lnattn_fwd_kernel, num_heads=num_heads,
-                               head_dim=head_dim, scale=head_dim ** -0.5)
+                               head_dim=head_dim, scale=head_dim ** -0.5,
+                               transposed=_transposed_mm())
     y = pl.pallas_call(
         kernel,
         grid=(n // g,),
@@ -248,9 +380,14 @@ def _lnattn_bwd(num_heads, interpret, res, dout):
     n, s, d = x.shape
     head_dim = d // num_heads
     g = _attn_group(n, s, d, num_heads, x.dtype.itemsize)
+    transposed = _transposed_mm()
     kernel = functools.partial(_lnattn_bwd_kernel, num_heads=num_heads,
-                               head_dim=head_dim, scale=head_dim ** -0.5)
+                               head_dim=head_dim, scale=head_dim ** -0.5,
+                               transposed=transposed)
     f32 = jnp.float32
+    # transposed mode accumulates dwqkv/dbqkv in dqkv^T's natural layout
+    dwqkv_shape = (3 * d, d) if transposed else (d, 3 * d)
+    dbqkv_shape = (3 * d, 1) if transposed else (1, 3 * d)
     dx, dg, db, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
         kernel,
         grid=(n // g,),
@@ -258,13 +395,13 @@ def _lnattn_bwd(num_heads, interpret, res, dout):
                   _const((d, 3 * d)), _const((1, 3 * d)), _const((d, d)),
                   _row3(g, s, d)],
         out_specs=(_row3(g, s, d), _const((1, d)), _const((1, d)),
-                   _const((d, 3 * d)), _const((1, 3 * d)),
+                   _const(dwqkv_shape), _const(dbqkv_shape),
                    _const((d, d)), _const((1, d))),
         out_shape=(jax.ShapeDtypeStruct((n, s, d), x.dtype),
                    jax.ShapeDtypeStruct((1, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((d, 3 * d), f32),
-                   jax.ShapeDtypeStruct((1, 3 * d), f32),
+                   jax.ShapeDtypeStruct(dwqkv_shape, f32),
+                   jax.ShapeDtypeStruct(dbqkv_shape, f32),
                    jax.ShapeDtypeStruct((d, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32)),
         interpret=interpret,
@@ -275,6 +412,9 @@ def _lnattn_bwd(num_heads, interpret, res, dout):
             bytes_accessed=3 * n * s * d * x.dtype.itemsize,
             transcendentals=n * num_heads * s * s),
     )(x, gamma, beta, wqkv, bqkv, wout, dout)
+    if transposed:  # tiny one-off XLA transpose/reshape outside the kernel
+        dwqkv = dwqkv.T
+        dbqkv = dbqkv.reshape(1, 3 * d)
     # cotangent dtypes match the _lnattn primal inputs (weights in the
     # compute dtype, gamma/beta/biases f32 [1, .]); caller-side cast VJPs
     # restore the original param forms
@@ -502,7 +642,7 @@ def ln_mlp(x: jax.Array, gamma: jax.Array, beta: jax.Array, w1: jax.Array,
 
 def _lnattn_nhwc_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                             wout_ref, bout_ref, y_ref, *, num_heads,
-                            head_dim, scale, block):
+                            head_dim, scale, block, transposed):
     dtype = x_ref.dtype
     w = x_ref.shape[2]
     s = block * block
@@ -515,9 +655,8 @@ def _lnattn_nhwc_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         qkv = (jnp.dot(ln, wqkv_ref[...],
                        preferred_element_type=jnp.float32)
                + bqkv_ref[...]).astype(dtype)
-        o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
-        y = jnp.dot(o, wout_ref[...],
-                    preferred_element_type=jnp.float32) + bout_ref[...]
+        y = _attn_out(qkv, wout_ref[...], bout_ref[...], num_heads,
+                      head_dim, scale, dtype, transposed)
         y_ref[0, :, lo:lo + block, :] = (x + y).astype(dtype).reshape(
             block, block, x_ref.shape[3])
 
@@ -526,7 +665,7 @@ def _lnattn_nhwc_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                             wout_ref, dout_ref,
                             dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref,
                             dwout_ref, dbout_ref, *, num_heads, head_dim,
-                            scale, block):
+                            scale, block, transposed):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dg_ref[...] = jnp.zeros_like(dg_ref)
@@ -543,37 +682,13 @@ def _lnattn_nhwc_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     for wj in range(w // block):
         lo = wj * block
         x = x_ref[0, :, lo:lo + block, :].reshape(s, d).astype(jnp.float32)
-        xh, inv = _ln_fwd(x)
-        ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
-        qkv = (jnp.dot(ln, wqkv_ref[...],
-                       preferred_element_type=jnp.float32)
-               + bqkv_ref[...]).astype(dtype)
-        o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
         dy = dout_ref[0, :, lo:lo + block, :].reshape(
             s, d).astype(jnp.float32)
-        dyb = dy.astype(dtype)
-        dwout_ref[...] += jax.lax.dot_general(
-            o, dyb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbout_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
-        do = jax.lax.dot_general(dyb, wout_ref[...],
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dqkv = _attn_heads_bwd(qkv, do, num_heads, head_dim, scale, dtype)
-        dqkvb = dqkv.astype(dtype)
-        dwqkv_ref[...] += jax.lax.dot_general(
-            ln, dqkvb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
-        dln = jax.lax.dot_general(dqkvb, wqkv_ref[...],
-                                  (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
-        db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
-        dxh = dln * g_ref[...]
-        dx_ref[0, :, lo:lo + block, :] = (
-            dy + _ln_bwd_dx(dxh, xh, inv)).astype(dtype).reshape(
-            block, block, d)
+        dx_ref[0, :, lo:lo + block, :] = _attn_block_bwd_rows(
+            x, dy, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+            dg_ref, db_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+            num_heads, head_dim, scale, dtype, transposed).astype(
+            dtype).reshape(block, block, d)
 
 
 def supports_window(b: int, h: int, w: int, d: int, num_heads: int,
@@ -612,7 +727,7 @@ def _lnattn_nhwc_fwd(x, gamma, beta, wqkv, bqkv, wout, bout, num_heads,
     grid, strip = _nhwc_specs(b, h, w, d, block)
     kernel = functools.partial(_lnattn_nhwc_fwd_kernel, num_heads=num_heads,
                                head_dim=head_dim, scale=head_dim ** -0.5,
-                               block=block)
+                               block=block, transposed=_transposed_mm())
     s = block * block
     y = pl.pallas_call(
         kernel,
@@ -636,10 +751,13 @@ def _lnattn_nhwc_bwd(num_heads, block, interpret, res, dout):
     b, h, w, d = x.shape
     head_dim = d // num_heads
     grid, strip = _nhwc_specs(b, h, w, d, block)
+    transposed = _transposed_mm()
     kernel = functools.partial(_lnattn_nhwc_bwd_kernel, num_heads=num_heads,
                                head_dim=head_dim, scale=head_dim ** -0.5,
-                               block=block)
+                               block=block, transposed=transposed)
     f32 = jnp.float32
+    dwqkv_shape = (3 * d, d) if transposed else (d, 3 * d)
+    dbqkv_shape = (3 * d, 1) if transposed else (1, 3 * d)
     dx, dg, db, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
         kernel,
         grid=grid,
@@ -647,13 +765,13 @@ def _lnattn_nhwc_bwd(num_heads, block, interpret, res, dout):
                   _const((d, 3 * d)), _const((1, 3 * d)), _const((d, d)),
                   strip],
         out_specs=(strip, _const((1, d)), _const((1, d)),
-                   _const((d, 3 * d)), _const((1, 3 * d)),
+                   _const(dwqkv_shape), _const(dbqkv_shape),
                    _const((d, d)), _const((1, d))),
         out_shape=(jax.ShapeDtypeStruct((b, h, w, d), x.dtype),
                    jax.ShapeDtypeStruct((1, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((d, 3 * d), f32),
-                   jax.ShapeDtypeStruct((1, 3 * d), f32),
+                   jax.ShapeDtypeStruct(dwqkv_shape, f32),
+                   jax.ShapeDtypeStruct(dbqkv_shape, f32),
                    jax.ShapeDtypeStruct((d, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32)),
         interpret=interpret,
@@ -664,6 +782,9 @@ def _lnattn_nhwc_bwd(num_heads, block, interpret, res, dout):
             bytes_accessed=3 * b * h * w * d * x.dtype.itemsize,
             transcendentals=b * h * w * num_heads),
     )(x, gamma, beta, wqkv, bqkv, wout, dout)
+    if transposed:
+        dwqkv = dwqkv.T
+        dbqkv = dbqkv.reshape(1, 3 * d)
     return (dx, dg, db, dwqkv.astype(wqkv.dtype), dbqkv,
             dwout.astype(wout.dtype), dbout)
 
