@@ -187,8 +187,25 @@ def vlp_finetune_only_imaging_resnet34(cfg: Config) -> Config:
 
 @register_experiment("vlp_finetune_fusion_resnet34")
 def vlp_finetune_fusion_resnet34(cfg: Config) -> Config:
+    """Reference finetune_imaging_and_clinical_best_resnet_34_k_fold.yaml:
+    batch 8, coral 1000, single LR 8.503173273116282e-4 (the split-LR
+    variant is vlp_finetune_fusion_resnet34_split_lr)."""
     cfg = vlp_finetune_only_imaging_resnet34(cfg)
     cfg.model.task = "fusion"
+    cfg.data.batch_size = 8
+    cfg.model.coral_lambda = 1000.0
+    cfg.model.vision_encoder_lr = None
+    return cfg
+
+
+@register_experiment("vlp_finetune_fusion_resnet34_split_lr")
+def vlp_finetune_fusion_resnet34_split_lr(cfg: Config) -> Config:
+    """Reference finetune_imaging_and_clinical_resnet_34_different_lr_
+    vision_encoder.yaml: vision-encoder LR = optimizer LR / 10, single
+    split (no k-fold CV)."""
+    cfg = vlp_finetune_fusion_resnet34(cfg)
+    cfg.model.vision_encoder_lr = 8.503173273116282e-5
+    cfg.k_fold_cross_validation = False
     return cfg
 
 
