@@ -117,12 +117,12 @@ def main() -> None:
         res[name]["hlo_mfu_pct"] = round(100 * tf / peak, 1)
         print(f"{name}: {f/1e12:.3f} TF/step, {tf:.1f} TF/s, "
               f"{100*tf/peak:.1f}% MFU", flush=True)
-    # keep the (richer) convention note the timed run recorded; only fill
-    # it in when re-annotating a results file that predates MFU columns
-    res.setdefault("mfu_convention", (
-        "model FLOPs = XLA unoptimized-HLO cost analysis of the pure-XLA "
-        "lowering (VLP_DISABLE_PALLAS); includes augmentation/loss/"
-        "optimizer; peak = %s TFLOP/s bf16" % peak))
+    # rewrite the convention note with THE peak these columns were just
+    # computed with (a preserved note would go stale under an overridden
+    # BENCH_PEAK_TFLOPS)
+    from run_benchmarks import mfu_convention
+
+    res["mfu_convention"] = mfu_convention(peak)
     with open(path, "w") as fh:
         json.dump(res, fh, indent=2)
     print(f"patched {path}")

@@ -53,6 +53,19 @@ BACKBONE_ENTRIES = {
 }
 
 
+def mfu_convention(peak_tflops: float) -> str:
+    """The hlo_* columns' convention note — built from the SAME peak used
+    to compute hlo_mfu_pct so note and columns can never disagree (shared
+    with patch_mfu.py's offline re-annotation)."""
+    return (
+        "hlo_* fields: FLOPs = XLA unoptimized-HLO cost analysis of the "
+        "pure-XLA lowering (VLP_DISABLE_PALLAS; counts ~2x the standard "
+        "analytic 2*MAC convention — includes augmentation/loss/optimizer "
+        "and generous conv-backward accounting). CONSISTENT across "
+        "entries/rounds for regression tracking; do not read hlo_mfu_pct "
+        "as true MFU. Peak = %g TFLOP/s bf16." % peak_tflops)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -322,6 +335,7 @@ def main() -> None:
         print(f"trainer_loop: {max(ips):.0f} img/s (epochs: "
               f"{[round(x) for x in ips]})", flush=True)
 
+    results["mfu_convention"] = mfu_convention(peak_tflops)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")
     if os.path.exists(out_path):  # preserve entries other runs recorded

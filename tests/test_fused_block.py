@@ -212,3 +212,21 @@ class TestWindowedNHWC:
         assert FB.supports_window(128, 14, 14, 384, 12, 14)  # l2
         assert not FB.supports_window(128, 56, 56, 96, 5, 14)  # bad heads
         assert not FB.supports_window(128, 57, 56, 96, 3, 14)  # indivisible
+
+
+class TestTransposedVariant:
+    """VLP_MEGA_TRANSPOSED=1 (opt-in; measured slower on v5e — DESIGN.md
+    §7b negative results) must stay numerically exact: reruns the strongest
+    parity checks with the reoriented PV/dV/dQ/dK matmuls, covering the
+    transposed [3D, D]/[3D, 1] weight-grad accumulators and their
+    un-transpose in _lnattn_bwd / _lnattn_nhwc_bwd."""
+
+    def test_row_kernel_parity_vs_plain_path(self, monkeypatch):
+        monkeypatch.setenv("VLP_MEGA_TRANSPOSED", "1")
+        TestMegaBlockParity().test_forward_and_grads_match_plain_path(
+            monkeypatch)
+
+    def test_windowed_parity(self, monkeypatch):
+        monkeypatch.setenv("VLP_MEGA_TRANSPOSED", "1")
+        TestWindowedNHWC().test_windowed_matches_blockified(monkeypatch)
+

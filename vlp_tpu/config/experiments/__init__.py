@@ -176,8 +176,8 @@ def vlp_finetune_only_imaging_resnet34(cfg: Config) -> Config:
     cfg.model.task = "only_imaging"
     cfg.model.model = "resnet34"
     cfg.model.pretrained_ckpt = "REQUIRED:path/to/vlp_checkpoint"
-    cfg.optimizer.lr = 8.503173e-4
-    cfg.model.vision_encoder_lr = 8.503173e-5
+    cfg.optimizer.lr = 8.503173273116282e-4
+    cfg.model.vision_encoder_lr = 8.503173273116282e-5
     cfg.data.name = "downstream"
     cfg.data.batch_size = 64
     cfg.scheduler.name = "cosine_warmup"
@@ -634,10 +634,8 @@ def vlp_finetune_fusion_resnet34_frozen_encoder(cfg: Config) -> Config:
     encoder.yaml: VLP-warm-started fusion with the vision tower FROZEN via
     vision_encoder_lr=0 (the reference's lr-0-removes-the-group mechanism),
     batch 8, coral 1000, lr 8.503173273116282e-4."""
-    cfg = vlp_finetune_fusion_resnet34(cfg)
+    cfg = vlp_finetune_fusion_resnet34(cfg)  # batch 8, coral 1000
     cfg.model.vision_encoder_lr = 0.0
-    cfg.data.batch_size = 8
-    cfg.model.coral_lambda = 1000.0
     cfg.k_fold_cross_validation = False
     return cfg
 

@@ -111,10 +111,6 @@ class ArrayBundle:
 _RESIDENT_LIMIT_MB = "VLP_DEVICE_RESIDENT_MB"  # per-device budget; 0 disables
 
 
-_gather_images = jax.jit(
-    lambda imgs, idx: jnp.take(imgs, idx, axis=0, mode="clip"))
-
-
 class ResidentCorpus:
     """Device-resident uint8 image corpus with on-device batch gather.
 
@@ -233,7 +229,7 @@ class ResidentCorpus:
         only, so the wrappers are built lazily, not in __init__."""
         fn = self.take_callable(chunked)
         if self.mode == "local":
-            return _gather_images
+            return jax.jit(fn)
         if self.mode == "replicated":
             from jax.sharding import NamedSharding, PartitionSpec as P
 

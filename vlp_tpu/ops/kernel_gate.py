@@ -66,6 +66,7 @@ def kernel_dispatch_key() -> Tuple:
     return (jax.default_backend(),
             os.environ.get("VLP_DISABLE_PALLAS", "0"),
             os.environ.get("VLP_PALLAS_INTERPRET", "0"),
+            os.environ.get("VLP_MEGA_TRANSPOSED", "0"),
             None if mesh is None else (mesh, axis))
 
 
