@@ -186,3 +186,36 @@ def test_scanned_trainer_matches_per_step(tmp_path):
     # same number of optimizer steps
     assert int(np.asarray(tr_scan.state.step)) == \
         int(np.asarray(tr_step.state.step))
+
+
+def test_snapshot_metrics_survive_resume(tmp_path):
+    """The best-epoch metric snapshot must ride the checkpoint meta: a
+    resumed process starts with an empty sink summary, and if the monitor
+    never improves after resume the fold's harvested '{monitor}_best_*'
+    metrics would silently vanish from cv_summary.json."""
+    cfg = _cfg(tmp_path)
+    tr_a = _make_trainer(cfg, tmp_path / "a")
+    tr_a.fit(max_epochs=2)
+    before = {k: v for k, v in tr_a.sink.summary.items()
+              if k.startswith(cfg.trainer.checkpoint_monitor + "_best")}
+    assert before, "snapshot never fired in the base run"
+
+    tr_b = _make_trainer(cfg, tmp_path / "b")
+    tr_b.load_resume_state(str(tmp_path / "a" / "last"))
+    # BEFORE any further epoch, the new sink summary already carries the
+    # prior run's best-epoch snapshot (restore() re-logged it)
+    after = {k: v for k, v in tr_b.sink.summary.items()
+             if k.startswith(cfg.trainer.checkpoint_monitor + "_best")}
+    assert after == before
+    assert tr_b.snapshot.best == tr_a.snapshot.best
+
+
+def test_missing_monitor_warns_then_raises(tmp_path):
+    """A checkpoint monitor the task never produces must fail loudly
+    (Lightning raises; silent no-op checkpointing loses the whole run)."""
+    cfg = _cfg(tmp_path)
+    cfg.trainer.checkpoint_monitor = "val/typo/nonexistent_metric"
+    cfg.trainer.linear_probe_every_n_epochs = 1  # grace = 1 epoch
+    tr = _make_trainer(cfg, tmp_path / "m")
+    with pytest.raises(ValueError, match="nonexistent_metric"):
+        tr.fit(max_epochs=3)

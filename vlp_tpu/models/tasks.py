@@ -195,6 +195,15 @@ class OnlyImagingTask(BaseTask):
         _, feats = self.model.apply(variables, images, train=False)
         return feats
 
+    def plot_outputs_fn(self, variables, batch):
+        """[B, F+1] features ++ logit column in ONE forward pass — feeds the
+        post-fit t-SNE/confusion plots through collect_over_loader's scanned
+        dispatch (the model already returns both)."""
+        images = self._prep_eval(batch, self.statics)
+        logits, feats = self.model.apply(variables, images, train=False)
+        return jnp.concatenate(
+            [feats, logits.reshape(feats.shape[0], 1)], axis=-1)
+
 
 class FusionTask(BaseTask):
     """Imaging + clinical late fusion; CORAL on IMAGE features
@@ -254,6 +263,15 @@ class FusionTask(BaseTask):
         _, feats = self.model.apply(variables, images, batch["clinical"],
                                     train=False)
         return feats
+
+    def plot_outputs_fn(self, variables, batch):
+        """[B, F+1] image features ++ fused logit column in one pass (see
+        OnlyImagingTask.plot_outputs_fn)."""
+        images = self._prep_eval(batch, self.statics)
+        logits, feats = self.model.apply(variables, images,
+                                         batch["clinical"], train=False)
+        return jnp.concatenate(
+            [feats, logits.reshape(feats.shape[0], 1)], axis=-1)
 
 
 class VisionLanguageTask(BaseTask):

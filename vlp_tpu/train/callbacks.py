@@ -59,6 +59,11 @@ class MetricSnapshot:
         self.monitor = monitor
         self.mode = mode
         self.best: Optional[float] = None
+        # the best-epoch snapshot itself rides in the checkpoint meta: a
+        # resumed process starts with an EMPTY sink summary, and if the
+        # monitor never improves again the harvested per-fold metrics
+        # would silently vanish (restore() re-logs it)
+        self.snapshot: Optional[Dict[str, float]] = None
 
     def on_validation_end(self, epoch: int, metrics: Dict[str, float]) -> None:
         if self.monitor not in metrics:
@@ -72,7 +77,18 @@ class MetricSnapshot:
             f"{self.monitor}_best_{name}": v for name, v in metrics.items()
         }
         snapshot[f"{self.monitor}_best_epoch"] = epoch
+        self.snapshot = snapshot
         self.sink.log_summary(snapshot)
+
+    def restore(self, best: Optional[float],
+                snapshot: Optional[Dict[str, float]]) -> None:
+        """Resume path: restore the best value AND the harvested snapshot,
+        re-logging it so the new process's sink summary carries the prior
+        run's best-epoch metrics even if no further improvement occurs."""
+        self.best = best
+        if snapshot:
+            self.snapshot = dict(snapshot)
+            self.sink.log_summary(self.snapshot)
 
 
 class DownstreamPrecisionAtK:

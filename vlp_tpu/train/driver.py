@@ -176,6 +176,13 @@ def train(cfg: Config) -> Dict[str, float]:
             ds_cfg.data.name = "synthetic_downstream"
         downstream = DownstreamData(ds_cfg, mesh)
 
+    if cfg.ckpt_path and cfg.k_fold_cross_validation:
+        raise ValueError(
+            "ckpt_path carries ONE fold's training state; under "
+            "k_fold_cross_validation=true it would be loaded into every "
+            "fold (same weights + skipped epoch range -> invalid CV "
+            "statistics). Resume the interrupted fold with "
+            "k_fold_cross_validation=false, or drop ckpt_path.")
     fold_summaries: List[Dict[str, float]] = []
     n_folds = None if cfg.k_fold_cross_validation else 1
     for fold in dm.folds():
@@ -275,10 +282,27 @@ def _evaluate_test_set(cfg: Config, dm, mesh) -> Dict[str, float]:
     for fold_dir in sorted(
             glob.glob(os.path.join(cfg.output_dir, "checkpoints", "fold*")),
             key=lambda p: int(os.path.basename(p)[4:])):
-        paths = sorted(p for p in glob.glob(os.path.join(fold_dir, "epoch*"))
-                       if os.path.isdir(p))  # skip .meta.json sidecars
-        if paths:
-            ckpts.append((int(os.path.basename(fold_dir)[4:]), paths[-1]))
+        # authoritative best path: the 'last' checkpoint's meta sidecar
+        # records checkpoint_best_path for THIS run — a lexicographic pick
+        # over epoch* dirs would silently grab stale checkpoints left by a
+        # previous run sharing output_dir (or by a crash mid-save)
+        best = None
+        meta = ckpt.load_meta(os.path.join(fold_dir, "last"))
+        if meta and meta.get("checkpoint_best_path") and \
+                os.path.isdir(meta["checkpoint_best_path"]):
+            best = meta["checkpoint_best_path"]
+        else:
+            paths = [p for p in glob.glob(os.path.join(fold_dir, "epoch*"))
+                     if os.path.isdir(p)]  # skip .meta.json sidecars
+            if paths:
+                best = max(paths, key=os.path.getmtime)
+                if len(paths) > 1:
+                    logger.warning(
+                        "test=True: %s holds %d epoch checkpoints (stale "
+                        "run in a reused output_dir?); using newest: %s",
+                        fold_dir, len(paths), best)
+        if best:
+            ckpts.append((int(os.path.basename(fold_dir)[4:]), best))
         else:
             logger.warning("test=True: %s has no checkpoints; its fold is "
                            "skipped", fold_dir)
@@ -302,25 +326,25 @@ def _post_fit_plots(cfg: Config, trainer: Trainer, fold) -> Dict[str, float]:
     (reference src/train.py:180-183, :261-325)."""
     try:
         from vlp_tpu.eval.plotting import plot_confusion_matrix, plot_tsne_and_silhouette
-        from vlp_tpu.train.step import make_apply_fn
+        from vlp_tpu.train.step import collect_over_loader
 
         out: Dict[str, float] = {}
         plot_dir = os.path.join(cfg.output_dir, "plots", f"fold{fold.index}")
-        feat_fn = make_apply_fn(trainer.task.features_fn, trainer.mesh,
-                                cfg.mesh.axis_name)
+        # ONE forward pass per batch (features ++ logit column) through the
+        # K-batch scanned collector — the earlier per-batch double-pass loop
+        # paid 2 forwards and O(batches) dispatches
         feats, labels, datasets, probs = [], [], [], []
         for name, loader in fold.val_loaders.items():
-            for batch in loader:
-                f = np.asarray(jax.device_get(
-                    feat_fn(trainer.variables, batch)))
-                o = trainer.eval_step(trainer.variables, batch)
-                m = np.asarray(jax.device_get(batch["mask"])) > 0
-                feats.append(f[m])
-                labels.append(np.asarray(jax.device_get(batch["label"]))[m])
-                datasets.extend([name] * int(m.sum()))
-                logits = np.asarray(jax.device_get(o["logits"])).ravel()[m]
-                probs.append(1 / (1 + np.exp(-logits)))
-        if not feats:
+            fl, y = collect_over_loader(
+                trainer.task.plot_outputs_fn, trainer.variables, loader,
+                max(1, cfg.trainer.scan_steps), trainer.mesh,
+                cfg.mesh.axis_name)
+            fl = np.asarray(fl, np.float32)
+            feats.append(fl[:, :-1])
+            probs.append(1 / (1 + np.exp(-fl[:, -1])))
+            labels.append(y)
+            datasets.extend([name] * len(y))
+        if not feats or not sum(len(f) for f in feats):
             return {}
         feats_np = np.concatenate(feats)
         labels_np = np.concatenate(labels)
@@ -369,6 +393,8 @@ def _downstream_precision_at_k(cfg: Config, trainer: Trainer,
     emb = jnp.asarray(np.concatenate(embs))
     y = jnp.asarray(np.concatenate(labels))
     ks = tuple(k for k in cfg.model.retrieval_ks if k + 1 <= emb.shape[0])
+    if not ks:  # tiny subsampled downstream sets: p@k undefined, don't crash
+        return {}
     p = label_precision_at_k(emb, y, ks=ks)
     return {f"downstream_entire/label_precision_at_{k}": float(p[k])
             for k in ks}

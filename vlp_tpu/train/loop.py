@@ -152,6 +152,7 @@ class Trainer:
                 "should_stop": self.early_stopping.should_stop,
             }
         meta["snapshot_best"] = self.snapshot.best
+        meta["snapshot_metrics"] = self.snapshot.snapshot
         if self.checkpointer:
             meta["checkpoint_best"] = self.checkpointer.best
             meta["checkpoint_best_path"] = self.checkpointer.best_path
@@ -179,7 +180,8 @@ class Trainer:
             self.early_stopping.best = es["best"]
             self.early_stopping.wait = int(es["wait"])
             self.early_stopping.should_stop = bool(es["should_stop"])
-        self.snapshot.best = meta.get("snapshot_best")
+        self.snapshot.restore(meta.get("snapshot_best"),
+                              meta.get("snapshot_metrics"))
         if self.checkpointer and meta.get("checkpoint_best") is not None:
             self.checkpointer.best = meta["checkpoint_best"]
             self.checkpointer.best_path = meta.get("checkpoint_best_path")
@@ -197,6 +199,15 @@ class Trainer:
         cfg = self.cfg
         last_metrics: Dict[str, float] = {}
         end_epoch = cfg.trainer.max_epochs if max_epochs is None else max_epochs
+        # A monitor absent from the metrics dict makes Checkpointer and
+        # MetricSnapshot silent no-ops — a misconfigured monitor would
+        # otherwise yield a full run with no best checkpoint and no
+        # harvested metrics, with zero warnings (Lightning raises here).
+        # Interval metrics (the linear probe) appear at multiples of
+        # probe_every, so give the monitor that long before failing.
+        monitor = cfg.trainer.checkpoint_monitor
+        monitor_seen = self.snapshot.best is not None  # resumed runs
+        monitor_grace = max(1, cfg.trainer.linear_probe_every_n_epochs)
         for epoch in range(self.start_epoch, end_epoch):
             t0 = time.perf_counter()
             train_loss, images_seen = self._train_epoch(epoch)
@@ -211,6 +222,21 @@ class Trainer:
             metrics = {"train/loss": train_loss, "epoch": epoch,
                        "train/images_per_sec": images_seen / max(dt, 1e-9)}
             metrics.update(self._validate(epoch))
+            if monitor in metrics:
+                monitor_seen = True
+            elif not monitor_seen:
+                if epoch == self.start_epoch:
+                    logger.warning(
+                        "checkpoint monitor %r not in epoch metrics "
+                        "(available: %s) — best-checkpoint/snapshot "
+                        "tracking is idle until it appears", monitor,
+                        sorted(metrics))
+                if epoch >= self.start_epoch + monitor_grace:
+                    raise ValueError(
+                        f"checkpoint monitor {monitor!r} never appeared in "
+                        f"{monitor_grace + 1} epochs of metrics (available: "
+                        f"{sorted(metrics)}); fix trainer.checkpoint_monitor "
+                        "for this task")
             self.sink.log(metrics, step=int(jax.device_get(self.state.step)))
             self.snapshot.on_validation_end(epoch, metrics)
             if self.early_stopping:
