@@ -135,6 +135,10 @@ class LinearProbeCallback:
         self.extract_features = extract_features
         self.every_n_epochs = max(1, every_n_epochs)
         self.max_iter = max_iter
+        # True when the last PROBE epoch skipped (single-class data): the
+        # trainer's missing-monitor check consults this so a legitimately
+        # absent probe metric downgrades the failure to a warning
+        self.skipped_last = False
 
     def on_validation_start(self, epoch: int, variables) -> Dict[str, float]:
         if epoch % self.every_n_epochs != 0:
@@ -146,11 +150,13 @@ class LinearProbeCallback:
         if len(np.unique(y_tr)) < 2 or len(np.unique(y_va)) < 2:
             # tiny subsampled/synthetic folds can be single-class; a probe
             # is undefined there — skip instead of killing the run
+            self.skipped_last = True
             logger.warning(
                 "LinearProbe epoch %d skipped: single-class data "
                 "(train classes %s, val classes %s)", epoch,
                 np.unique(y_tr), np.unique(y_va))
             return {}
+        self.skipped_last = False
         clf = LogisticRegression(max_iter=self.max_iter)
         clf.fit(np.asarray(x_tr), np.asarray(y_tr))
         probs = clf.predict_proba(np.asarray(x_va))[:, 1]

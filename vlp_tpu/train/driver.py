@@ -156,6 +156,14 @@ def _linear_probe_callback(cfg: Config, mesh, downstream: DownstreamData,
 
 
 def train(cfg: Config) -> Dict[str, float]:
+    # pure config validation FIRST — before paying mesh/dataset setup
+    if cfg.ckpt_path and cfg.k_fold_cross_validation:
+        raise ValueError(
+            "ckpt_path carries ONE fold's training state; under "
+            "k_fold_cross_validation=true it would be loaded into every "
+            "fold (same weights + skipped epoch range -> invalid CV "
+            "statistics). Resume the interrupted fold with "
+            "k_fold_cross_validation=false, or drop ckpt_path.")
     os.makedirs(cfg.output_dir, exist_ok=True)
     mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name)
     logger.info("Mesh: %s over %d devices", mesh.axis_names, mesh.size)
@@ -176,13 +184,6 @@ def train(cfg: Config) -> Dict[str, float]:
             ds_cfg.data.name = "synthetic_downstream"
         downstream = DownstreamData(ds_cfg, mesh)
 
-    if cfg.ckpt_path and cfg.k_fold_cross_validation:
-        raise ValueError(
-            "ckpt_path carries ONE fold's training state; under "
-            "k_fold_cross_validation=true it would be loaded into every "
-            "fold (same weights + skipped epoch range -> invalid CV "
-            "statistics). Resume the interrupted fold with "
-            "k_fold_cross_validation=false, or drop ckpt_path.")
     fold_summaries: List[Dict[str, float]] = []
     n_folds = None if cfg.k_fold_cross_validation else 1
     for fold in dm.folds():
@@ -287,20 +288,27 @@ def _evaluate_test_set(cfg: Config, dm, mesh) -> Dict[str, float]:
         # over epoch* dirs would silently grab stale checkpoints left by a
         # previous run sharing output_dir (or by a crash mid-save)
         best = None
+        paths = [p for p in glob.glob(os.path.join(fold_dir, "epoch*"))
+                 if os.path.isdir(p)]  # skip .meta.json sidecars
         meta = ckpt.load_meta(os.path.join(fold_dir, "last"))
-        if meta and meta.get("checkpoint_best_path") and \
+        meta_path = os.path.join(fold_dir, "last.meta.json")
+        # trust the sidecar only if NO epoch checkpoint postdates it —
+        # a later run in the same output_dir (save_last off, or crashed
+        # before its first 'last' save) would otherwise be shadowed by the
+        # previous run's stale meta
+        meta_fresh = meta is not None and os.path.exists(meta_path) and \
+            all(os.path.getmtime(p) <= os.path.getmtime(meta_path) + 1.0
+                for p in paths)
+        if meta_fresh and meta.get("checkpoint_best_path") and \
                 os.path.isdir(meta["checkpoint_best_path"]):
             best = meta["checkpoint_best_path"]
-        else:
-            paths = [p for p in glob.glob(os.path.join(fold_dir, "epoch*"))
-                     if os.path.isdir(p)]  # skip .meta.json sidecars
-            if paths:
-                best = max(paths, key=os.path.getmtime)
-                if len(paths) > 1:
-                    logger.warning(
-                        "test=True: %s holds %d epoch checkpoints (stale "
-                        "run in a reused output_dir?); using newest: %s",
-                        fold_dir, len(paths), best)
+        elif paths:
+            best = max(paths, key=os.path.getmtime)
+            if len(paths) > 1 or meta is not None:
+                logger.warning(
+                    "test=True: %s meta sidecar is missing or stale "
+                    "(%d epoch checkpoints on disk); using newest by "
+                    "mtime: %s", fold_dir, len(paths), best)
         if best:
             ckpts.append((int(os.path.basename(fold_dir)[4:]), best))
         else:
@@ -335,6 +343,8 @@ def _post_fit_plots(cfg: Config, trainer: Trainer, fold) -> Dict[str, float]:
         # paid 2 forwards and O(batches) dispatches
         feats, labels, datasets, probs = [], [], [], []
         for name, loader in fold.val_loaders.items():
+            if len(loader) == 0:  # empty split: skip, keep other loaders
+                continue
             fl, y = collect_over_loader(
                 trainer.task.plot_outputs_fn, trainer.variables, loader,
                 max(1, cfg.trainer.scan_steps), trainer.mesh,

@@ -232,11 +232,8 @@ class Trainer:
                         "tracking is idle until it appears", monitor,
                         sorted(metrics))
                 if epoch >= self.start_epoch + monitor_grace:
-                    raise ValueError(
-                        f"checkpoint monitor {monitor!r} never appeared in "
-                        f"{monitor_grace + 1} epochs of metrics (available: "
-                        f"{sorted(metrics)}); fix trainer.checkpoint_monitor "
-                        "for this task")
+                    self._missing_monitor(monitor, epoch - self.start_epoch
+                                          + 1, metrics)
             self.sink.log(metrics, step=int(jax.device_get(self.state.step)))
             self.snapshot.on_validation_end(epoch, metrics)
             if self.early_stopping:
@@ -256,7 +253,31 @@ class Trainer:
             last_metrics = metrics
             if self.early_stopping and self.early_stopping.should_stop:
                 break
+        if not monitor_seen and last_metrics:
+            # runs shorter than the grace window still fail loudly on a
+            # typo'd monitor instead of completing with zero checkpoints
+            self._missing_monitor(monitor, end_epoch - self.start_epoch,
+                                  last_metrics)
         return last_metrics
+
+    def _missing_monitor(self, monitor: str, n_epochs: int,
+                         metrics: Dict[str, float]):
+        """The configured checkpoint monitor never appeared. Raise —
+        UNLESS a linear probe is attached and its last probe epoch
+        legitimately skipped (single-class downstream data): the monitor
+        config is then correct and the run continues with a warning."""
+        if self.linear_probe is not None and \
+                getattr(self.linear_probe, "skipped_last", False):
+            logger.warning(
+                "checkpoint monitor %r absent after %d epoch(s), but the "
+                "linear probe skipped (single-class downstream data) — "
+                "continuing with best-checkpoint tracking idle",
+                monitor, n_epochs)
+            return
+        raise ValueError(
+            f"checkpoint monitor {monitor!r} never appeared in {n_epochs} "
+            f"epoch(s) of metrics (available: {sorted(metrics)}); fix "
+            "trainer.checkpoint_monitor for this task")
 
     # ------------------------------------------------------------------
     def _train_epoch(self, epoch: int) -> Tuple[float, int]:
