@@ -23,7 +23,7 @@ def baseline_only_imaging_resnet34(cfg: Config) -> Config:
     cfg.data.name = "downstream"
     cfg.data.batch_size = 64
     cfg.data.crop_larger_dimension = True  # STOSOP augmentations variant
-    cfg.optimizer.lr = 1.2925748e-4
+    cfg.optimizer.lr = 1.2925748253710286e-4
     cfg.scheduler.name = "cosine_warmup"
     cfg.trainer.checkpoint_monitor = "val/combined/accuracy"
     cfg.trainer.early_stopping_monitor = "val/combined/accuracy"

@@ -279,7 +279,10 @@ def _resident_images(cache: ImageCache, mesh=None,
         mode = None
     if mode is None:
         return None
-    key = (mode, id(mesh))
+    # Mesh is hashable; keying on the object (not id()) avoids returning a
+    # corpus committed to a garbage-collected mesh whose address was reused
+    # (in-process sweeps rebuild meshes).
+    key = (mode, mesh)
     cached = getattr(cache, "_resident", None)
     if cached is not None and cached[0] == key:
         return cached[1]

@@ -59,15 +59,17 @@ class HashTokenizer:
         return ids, mask
 
 
-import functools
+_TOKENIZER_CACHE: Dict[str, object] = {}
 
 
-@functools.lru_cache(maxsize=8)
 def get_tokenizer(name: str):
     """Returns fn(texts, max_length) -> (ids [N,L] int32, mask [N,L] int32).
-    Cached per name: tokenizer_is_hash_fallback and the tokenize path would
-    otherwise re-load the HF tokenizer files every call, and a transient
-    load failure on a later call could misclassify the tokenizer."""
+    Successful HF loads are cached per name (tokenizer_is_hash_fallback and
+    the tokenize path would otherwise re-load the HF tokenizer files every
+    call). Failures are NOT cached: a transient load failure must not lock
+    the hash fallback in for the process lifetime."""
+    if name in _TOKENIZER_CACHE:
+        return _TOKENIZER_CACHE[name]
     hf_name = TOKENIZER_HF_NAMES.get(name, name)
     try:
         import os
@@ -87,6 +89,7 @@ def get_tokenizer(name: str):
                     out["attention_mask"].astype(np.int32))
 
         logger.info("Using HF tokenizer %s", hf_name)
+        _TOKENIZER_CACHE[name] = hf_tokenize
         return hf_tokenize
     except Exception as e:
         logger.warning(

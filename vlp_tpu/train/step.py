@@ -185,8 +185,9 @@ def _cached_apply_fns(fn, scan_steps, mesh, axis_name):
     global _COLLECT_CACHE
     if _COLLECT_CACHE is None:
         _COLLECT_CACHE = OrderedDict()
+    from vlp_tpu.ops.kernel_gate import kernel_dispatch_key
     key = (getattr(fn, "__self__", None), getattr(fn, "__func__", fn),
-           scan_steps, mesh, axis_name)
+           scan_steps, mesh, axis_name, kernel_dispatch_key())
     if key in _COLLECT_CACHE:
         _COLLECT_CACHE.move_to_end(key)
     else:
