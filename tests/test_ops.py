@@ -338,6 +338,56 @@ class TestRetrieval:
         assert float(out[12]) == 1.0
         assert float(out[3]) < 1.0
 
+    def test_masked_variants_match_compacted(self):
+        """The on-device padded path (train/loop.py _validate_vlp) must
+        equal the old host-compacted path exactly: masked metrics over
+        [N_pad] padded buffers == unmasked metrics over the valid rows."""
+        from vlp_tpu.ops.retrieval import (
+            masked_image_text_recall_at_k,
+            masked_label_precision_at_k,
+        )
+
+        rng = np.random.default_rng(7)
+        n_pad, n_valid = 40, 29
+        img = rng.normal(size=(n_pad, 16)).astype(np.float32)
+        txt = rng.normal(size=(n_pad, 16)).astype(np.float32)
+        labels = rng.integers(0, 3, n_pad).astype(np.int32)
+        # interleaved mask (padding appears at scan-chunk tails, but the
+        # math must not care where)
+        mask = np.zeros(n_pad, np.float32)
+        mask[rng.permutation(n_pad)[:n_valid]] = 1.0
+        keep = mask > 0
+        ks = (3, 5, 10)
+        mp = masked_label_precision_at_k(
+            jnp.array(img), jnp.array(labels), jnp.array(mask), ks=ks)
+        up = label_precision_at_k(
+            jnp.array(img[keep]), jnp.array(labels[keep]), ks=ks)
+        mr = masked_image_text_recall_at_k(
+            jnp.array(img), jnp.array(txt), jnp.array(mask), ks=ks)
+        ur = image_text_recall_at_k(
+            jnp.array(img[keep]), jnp.array(txt[keep]), ks=ks)
+        for k in ks:
+            assert abs(float(mp[k]) - float(up[k])) < 1e-6, k
+            assert abs(float(mr[k]) - float(ur[k])) < 1e-6, k
+
+    def test_masked_all_valid_matches_unmasked(self):
+        from vlp_tpu.ops.retrieval import (
+            masked_image_text_recall_at_k,
+            masked_label_precision_at_k,
+        )
+
+        rng = np.random.default_rng(11)
+        img = jnp.array(rng.normal(size=(20, 8)).astype(np.float32))
+        txt = jnp.array(rng.normal(size=(20, 8)).astype(np.float32))
+        labels = jnp.array(rng.integers(0, 2, 20).astype(np.int32))
+        ones = jnp.ones(20, jnp.float32)
+        mp = masked_label_precision_at_k(img, labels, ones, ks=(5,))
+        up = label_precision_at_k(img, labels, ks=(5,))
+        assert abs(float(mp[5]) - float(up[5])) < 1e-6
+        mr = masked_image_text_recall_at_k(img, txt, ones, ks=(5,))
+        ur = image_text_recall_at_k(img, txt, ks=(5,))
+        assert abs(float(mr[5]) - float(ur[5])) < 1e-6
+
 
 class TestShearAugmentation:
     def test_pretrain_shear_path_changes_output(self):

@@ -244,3 +244,85 @@ class TestInfoNCEImplWiring:
         hlo_sm = sm.lower(img, txt, scale, mask).compile().as_text()
         assert "f32[256,256]" not in hlo_sm
         assert "f32[32,256]" in hlo_sm  # the local row block
+
+
+class TestGlobalCaptionUniquenessUnderSharding:
+    """VERDICT r3 #8: the labels-are-positions InfoNCE correctness argument
+    (parallel/infonce.py:13-16) rests on the sampler building GLOBAL
+    caption-unique batches BEFORE sharding. Pin that invariant: run the
+    real sharded loader (DeviceLoader over the CPU-8 mesh) on a dataset
+    with duplicated captions and assert every main-phase *global* batch is
+    caption-unique — and that the shard_map loss on a loader-produced batch
+    equals the dense single-device path. Reference semantics:
+    UniqueCaptionSampler.py:95-129 (main phase), :131-169 (tail)."""
+
+    def _loader(self, mesh, n=48, dup=2, bs=8, seed=3):
+        from collections import Counter
+
+        from vlp_tpu.data.pipeline import ArrayBundle, DeviceLoader
+        from vlp_tpu.data.preprocess_host import ImageCache
+        from vlp_tpu.data.sampler import NoDuplicateCaptionSampler
+
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 255, size=(n, 8, 8), dtype=np.uint8)
+        cache = ImageCache.from_arrays(imgs)
+        cids = [i // dup for i in range(n)]  # every caption duplicated
+        samples = [{"dataset": "MURA" if i % 2 else "LERA",
+                    "image_path": f"s{i}", "label": i % 2,
+                    "caption_id": cids[i]} for i in range(n)]
+        bundle = ArrayBundle(
+            samples, cache,
+            token_ids=np.tile(np.arange(6, dtype=np.int32), (n, 1)),
+            token_mask=np.ones((n, 6), np.int32))
+        sampler = NoDuplicateCaptionSampler(n, cids, bs, seed=seed)
+        return DeviceLoader(bundle, sampler, bs, mesh), Counter(cids), bs
+
+    def test_global_batches_caption_unique(self):
+        mesh = create_mesh()
+        loader, counts, bs = self._loader(mesh)
+        for epoch in range(2):
+            remaining = dict(counts)
+            seen_valid = 0
+            for batch in loader:
+                # global (unsharded) view of the sharded batch
+                cid = np.asarray(jax.device_get(batch["caption_id"]))
+                mask = np.asarray(jax.device_get(batch["mask"])) > 0
+                assert len(batch["caption_id"].sharding.device_set) == 8
+                valid = cid[mask]
+                n_avail = sum(1 for v in remaining.values() if v > 0)
+                if n_avail >= bs:  # main phase: uniqueness MUST hold
+                    assert len(set(valid.tolist())) == len(valid), \
+                        f"duplicate caption in a main-phase global batch " \
+                        f"(epoch {epoch}): {sorted(valid.tolist())}"
+                for c in valid.tolist():
+                    remaining[c] -= 1
+                seen_valid += len(valid)
+            # epoch coverage: every sample consumed exactly once globally
+            assert seen_valid == sum(counts.values())
+            assert all(v == 0 for v in remaining.values()), remaining
+
+    def test_loader_batch_loss_matches_dense(self):
+        """shard_map InfoNCE on a loader-produced sharded batch == dense
+        single-device loss on the same global batch."""
+        mesh = create_mesh()
+        loader, _, _ = self._loader(mesh)
+        batch = next(iter(loader))
+        cid = np.asarray(jax.device_get(batch["caption_id"]))
+        mask_np = np.asarray(jax.device_get(batch["mask"]))
+        rng = np.random.default_rng(5)
+        # embeddings keyed off the batch contents (deterministic)
+        img = rng.normal(size=(len(cid), 16)).astype(np.float32) + \
+            cid[:, None].astype(np.float32)
+        txt = rng.normal(size=(len(cid), 16)).astype(np.float32)
+        scale = jnp.float32(20.0)
+        dense = losses.symmetric_infonce(
+            losses.clip_logits(jnp.asarray(img), jnp.asarray(txt),
+                               jnp.log(scale), scale_max=1e9),
+            jnp.asarray(mask_np))
+        sh = batch_sharding(mesh)
+        fn = global_infonce_shard_map(mesh)
+        out = fn(jax.device_put(jnp.asarray(img), sh),
+                 jax.device_put(jnp.asarray(txt), sh),
+                 jax.device_put(scale, replicated(mesh)),
+                 jax.device_put(jnp.asarray(mask_np), sh))
+        assert abs(float(out) - float(dense)) < 1e-4

@@ -27,7 +27,12 @@ from vlp_tpu.config import Config
 from vlp_tpu.data.pipeline import DeviceLoader
 from vlp_tpu.models.tasks import BaseTask, VisionLanguageTask
 from vlp_tpu.ops import metrics as M
-from vlp_tpu.ops.retrieval import image_text_recall_at_k, label_precision_at_k
+from vlp_tpu.ops.retrieval import (
+    image_text_recall_at_k,
+    label_precision_at_k,
+    masked_image_text_recall_at_k,
+    masked_label_precision_at_k,
+)
 from vlp_tpu.train.callbacks import EarlyStopping, LinearProbeCallback, MetricSnapshot
 from vlp_tpu.train.optim import make_optimizer
 from vlp_tpu.train.state import TrainState
@@ -404,34 +409,46 @@ class Trainer:
 
     def _validate_vlp(self) -> Dict[str, float]:
         """Per-loader InfoNCE loss + epoch-level retrieval metrics over the
-        cached full-epoch embeddings (reference
-        VisionLanguageModule.py:556-636, :664-706)."""
+        full-epoch embeddings (reference VisionLanguageModule.py:556-636,
+        :664-706). Embeddings stay ON DEVICE for the whole epoch: chunk
+        outputs are accumulated as padded device buffers ([N_pad, E] with
+        the pad mask) and the top-k metrics run mask-aware on device —
+        the only host transfers are the final scalar metrics (the old path
+        device_get -> host-concat -> re-upload'ed every chunk, O(val set)
+        traffic per epoch over a ~174 ms/dispatch remote-PJRT tunnel)."""
         out: Dict[str, float] = {}
         for name, loader in self.val_loaders.items():
-            img_chunks, txt_chunks, label_chunks, losses = [], [], [], []
+            img_chunks, txt_chunks, label_chunks = [], [], []
+            mask_chunks, losses = [], []
             for o, batch, chunked in self._eval_outputs(loader):
-                mask = np.asarray(jax.device_get(o["mask"])).reshape(-1) > 0
-                flat = (lambda x: np.asarray(jax.device_get(x)).reshape(
-                    (-1,) + x.shape[2:])) if chunked else                     (lambda x: np.asarray(jax.device_get(x)))
-                img_chunks.append(flat(o["img_emb"])[mask])
-                txt_chunks.append(flat(o["txt_emb"])[mask])
-                label_chunks.append(np.asarray(
-                    jax.device_get(batch["label"])).reshape(-1)[mask])
-                losses.extend(np.atleast_1d(
-                    np.asarray(jax.device_get(o["loss"]))).tolist())
+                flat = (lambda x: x.reshape((-1,) + x.shape[2:])) if chunked \
+                    else (lambda x: x)
+                img_chunks.append(flat(o["img_emb"]))
+                txt_chunks.append(flat(o["txt_emb"]))
+                mask_chunks.append(o["mask"].reshape(-1))
+                label_chunks.append(batch["label"].reshape(-1))
+                losses.append(jnp.atleast_1d(o["loss"]))
             if not img_chunks:
-                continue  # empty/fully-masked val loader: skip, don't crash
-            img = jnp.asarray(np.concatenate(img_chunks))
-            txt = jnp.asarray(np.concatenate(txt_chunks))
-            labels = jnp.asarray(np.concatenate(label_chunks))
-            out[f"val/{name}/loss"] = float(np.mean(losses))
-            ks = tuple(k for k in self.retrieval_ks if k + 1 <= img.shape[0])
+                continue  # empty val loader: skip, don't crash
+            img = jnp.concatenate(img_chunks)
+            txt = jnp.concatenate(txt_chunks)
+            labels = jnp.concatenate(label_chunks)
+            mask = jnp.concatenate(mask_chunks)
+            # one scalar fetch per loader per epoch: the valid-row count
+            # picks which ks are computable (k+1 <= n_valid, same contract
+            # as the unmasked asserts)
+            n_valid = int(jax.device_get(jnp.sum(mask > 0)))
+            out[f"val/{name}/loss"] = float(jax.device_get(
+                jnp.mean(jnp.concatenate(losses))))
+            ks = tuple(k for k in self.retrieval_ks if k + 1 <= n_valid)
             if ks:
-                p = label_precision_at_k(img, labels, ks=ks)
-                r = image_text_recall_at_k(img, txt, ks=ks)
+                p = masked_label_precision_at_k(img, labels, mask, ks=ks)
+                r = masked_image_text_recall_at_k(img, txt, mask, ks=ks)
+                scalars = jax.device_get((p, r))  # one fetch for all ks
                 for k in ks:
-                    out[f"val/{name}/label_precision_at_{k}"] = float(p[k])
-                    out[f"val/{name}/recall_at_{k}"] = float(r[k])
+                    out[f"val/{name}/label_precision_at_{k}"] = \
+                        float(scalars[0][k])
+                    out[f"val/{name}/recall_at_{k}"] = float(scalars[1][k])
         if all(f"val/{n}/loss" in out for n in self.val_loaders):
             out["val/combined/loss"] = float(np.mean(
                 [out[f"val/{n}/loss"] for n in self.val_loaders]))
