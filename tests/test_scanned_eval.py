@@ -63,3 +63,24 @@ def test_scanned_feature_extraction_matches():
         feats[k] = t.extract_features(loader)
     np.testing.assert_allclose(feats[1][0], feats[2][0], atol=1e-5)
     np.testing.assert_array_equal(feats[1][1], feats[2][1])
+
+
+@pytest.mark.slow
+def test_vlp_train_retrieval_cache_rides_the_scan():
+    """cache_train_embeddings no longer forces per-step dispatch: the
+    scanned path must produce the same train-epoch retrieval metrics as
+    per-step dispatch (embeddings stacked out of the scan, masked top-k on
+    device — reference VisionLanguageModule.py:685-700)."""
+    vals = {}
+    for k in (1, 2):
+        cfg = _cfg("smoke_synthetic_pretrain", k, extra=[
+            "model.text_model=microbert", "data.max_token_length=8",
+            "trainer.cache_train_embeddings=true"])
+        t, _ = _trainer(cfg)
+        assert t.use_scan == (k > 1)
+        t._train_epoch(0)
+        vals[k] = t._train_retrieval_metrics()
+    assert any(key.startswith("train/recall_at_") for key in vals[2]), vals[2]
+    assert set(vals[1]) == set(vals[2])
+    for key in vals[1]:
+        assert vals[1][key] == pytest.approx(vals[2][key], abs=1e-4), key

@@ -99,16 +99,20 @@ class Trainer:
                                           self.state_shardings)
         # K-step scanned dispatch (one host->device round trip per K steps;
         # VERDICT r1 #4: the Trainer must train the way the benchmark
-        # measures). Per-step dispatch remains for VLP runs that cache
-        # per-step embeddings for train-epoch retrieval metrics.
+        # measures). VLP runs that cache embeddings for train-epoch
+        # retrieval metrics ride the SAME scan: the embeddings come back
+        # stacked [K, B, E] and stay on device until epoch end (the old
+        # path forced per-step dispatch + a device_get per step).
+        self.cache_train_emb = (isinstance(task, VisionLanguageTask)
+                                and cfg.trainer.cache_train_embeddings)
         self.scan_k = int(cfg.trainer.scan_steps)
-        self.use_scan = self.scan_k > 1 and not (
-            isinstance(task, VisionLanguageTask)
-            and cfg.trainer.cache_train_embeddings)
+        self.use_scan = self.scan_k > 1
         self.scan_step = (
-            make_scanned_train_step(task, self.tx, self.scan_k, mesh,
-                                    cfg.mesh.axis_name,
-                                    self.state_shardings)
+            make_scanned_train_step(
+                task, self.tx, self.scan_k, mesh, cfg.mesh.axis_name,
+                self.state_shardings,
+                aux_keys=(("img_emb", "txt_emb") if self.cache_train_emb
+                          else ()))
             if self.use_scan else None)
         self.eval_step = make_eval_step(task, mesh, cfg.mesh.axis_name)
         # K-batch scanned validation: dispatch count drops from O(batches)
@@ -293,7 +297,20 @@ class Trainer:
         losses = []
         mask_sums = []
         timer = StepTimer(warmup=1)
-        self._train_cache = {"img": [], "txt": [], "label": []}
+        # train-epoch retrieval cache (reference
+        # VisionLanguageModule.py:556-636): DEVICE arrays + pad masks,
+        # consumed by the masked top-k metrics at epoch end — no per-step
+        # host transfer in either dispatch mode.
+        self._train_cache = {"img": [], "txt": [], "label": [], "mask": []}
+
+        def cache_emb(img, txt, label, mask):
+            flat = lambda x: x.reshape((-1,) + x.shape[2:]) \
+                if x.ndim > 2 else x
+            self._train_cache["img"].append(flat(img))
+            self._train_cache["txt"].append(flat(txt))
+            self._train_cache["label"].append(label.reshape(-1))
+            self._train_cache["mask"].append(mask.reshape(-1))
+
         profile_ctx = None
         if self.cfg.trainer.profile and epoch == 0:
             profile_dir = self.cfg.trainer.profile_dir or \
@@ -310,11 +327,13 @@ class Trainer:
                         self.state, aux = self.scan_step(self.state, payload)
                     else:
                         self.state, aux = self.train_step(self.state, payload)
-                        aux = {"loss": aux["loss"],
-                               "images": jnp.sum(aux["mask"])}
+                        aux = {**aux, "images": jnp.sum(aux["mask"])}
                     timer.stop()
                     losses.append(jnp.atleast_1d(aux["loss"]))
                     mask_sums.append(jnp.sum(aux["images"]))
+                    if self.cache_train_emb:
+                        cache_emb(aux["img_emb"], aux["txt_emb"],
+                                  payload["label"], payload["mask"])
             else:
                 for batch in self.train_loader:
                     timer.start()
@@ -327,16 +346,9 @@ class Trainer:
                     # real samples only — padded tail entries carry mask 0
                     # (device-side sum; fetched once at epoch end)
                     mask_sums.append(jnp.sum(aux["mask"]))
-                    if self.is_vlp and self.cfg.trainer.cache_train_embeddings:
-                        # cache embeddings for train-epoch retrieval metrics
-                        # (reference VisionLanguageModule.py:556-636)
-                        m = np.asarray(jax.device_get(aux["mask"])) > 0
-                        self._train_cache["img"].append(
-                            np.asarray(jax.device_get(aux["img_emb"]))[m])
-                        self._train_cache["txt"].append(
-                            np.asarray(jax.device_get(aux["txt_emb"]))[m])
-                        self._train_cache["label"].append(
-                            np.asarray(jax.device_get(batch["label"]))[m])
+                    if self.cache_train_emb:
+                        cache_emb(aux["img_emb"], aux["txt_emb"],
+                                  batch["label"], aux["mask"])
         mean_loss = float(np.mean(jax.device_get(
             jnp.concatenate(losses)))) if losses else float("nan")
         images = int(np.sum(jax.device_get(jnp.stack(mask_sums)))) \
@@ -346,22 +358,28 @@ class Trainer:
 
     def _train_retrieval_metrics(self) -> Dict[str, float]:
         """Epoch-level retrieval metrics over the cached TRAIN embeddings
-        (reference computes these per train epoch, :685-700)."""
+        (reference computes these per train epoch, :685-700). The cache
+        holds padded DEVICE buffers; the masked top-k runs on device and
+        only the scalar metrics (plus the valid-row count) reach the
+        host."""
         cache = getattr(self, "_train_cache", None)
         if not cache or not cache["img"]:
             return {}
-        img = jnp.asarray(np.concatenate(cache["img"]))
-        txt = jnp.asarray(np.concatenate(cache["txt"]))
-        labels = jnp.asarray(np.concatenate(cache["label"]))
+        img = jnp.concatenate(cache["img"])
+        txt = jnp.concatenate(cache["txt"])
+        labels = jnp.concatenate(cache["label"])
+        mask = jnp.concatenate(cache["mask"])
         out: Dict[str, float] = {}
-        ks = tuple(k for k in self.retrieval_ks if k + 1 <= img.shape[0])
+        n_valid = int(jax.device_get(jnp.sum(mask > 0)))
+        ks = tuple(k for k in self.retrieval_ks if k + 1 <= n_valid)
         if ks:
-            p = label_precision_at_k(img, labels, ks=ks)
-            r = image_text_recall_at_k(img, txt, ks=ks)
+            p = masked_label_precision_at_k(img, labels, mask, ks=ks)
+            r = masked_image_text_recall_at_k(img, txt, mask, ks=ks)
+            scalars = jax.device_get((p, r))
             for k in ks:
-                out[f"train/label_precision_at_{k}"] = float(p[k])
-                out[f"train/recall_at_{k}"] = float(r[k])
-        self._train_cache = {"img": [], "txt": [], "label": []}
+                out[f"train/label_precision_at_{k}"] = float(scalars[0][k])
+                out[f"train/recall_at_{k}"] = float(scalars[1][k])
+        self._train_cache = {"img": [], "txt": [], "label": [], "mask": []}
         return out
 
     # ------------------------------------------------------------------

@@ -56,13 +56,19 @@ def make_train_step(task: BaseTask, tx: optax.GradientTransformation,
 def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
                             num_steps: int, mesh: Optional[Mesh] = None,
                             axis_name: str = "data",
-                            state_shardings=None) -> Callable:
+                            state_shardings=None,
+                            aux_keys: Tuple[str, ...] = ()) -> Callable:
     """K training steps inside ONE jitted call via ``lax.scan`` over batches
     stacked on a leading axis (pytree of [K, ...] arrays).
 
     Motivation: each host->device dispatch costs a round trip (severe over
     remote PJRT tunnels, nonzero everywhere); scanning the loop on device
     makes throughput dispatch-free. Returns (new_state, losses[K]).
+
+    ``aux_keys``: extra per-step loss aux entries to stack out of the scan
+    (e.g. ("img_emb", "txt_emb") — VLP train-epoch retrieval caching rides
+    the scan instead of forcing per-step dispatch; they stay on device,
+    batch-sharded under a mesh).
     """
     if mesh is not None:
         set_kernel_mesh(mesh, axis_name)
@@ -77,9 +83,11 @@ def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
         extra = dict(state.extra_vars)
         extra.update(mutated)
         images = jnp.sum(batch["mask"])  # pipeline batches always carry mask
+        out = {"loss": loss, "images": images}
+        out.update({k: _aux[k] for k in aux_keys})
         return state.replace(step=state.step + 1, params=params,
                              extra_vars=extra, opt_state=opt_state,
-                             rng=rng), {"loss": loss, "images": images}
+                             rng=rng), out
 
     def multi_step(state: TrainState, batches: Dict):
         return jax.lax.scan(one_step, state, batches, length=num_steps)
@@ -89,8 +97,11 @@ def make_scanned_train_step(task: BaseTask, tx: optax.GradientTransformation,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, axis_name))  # [K, B, ...] shard B
     state_sh = state_shardings if state_shardings is not None else repl
+    # stacked aux embeddings stay batch-sharded; scalars replicate
+    aux_sh = {"loss": repl, "images": repl,
+              **{k: data for k in aux_keys}}
     return jax.jit(multi_step, in_shardings=(state_sh, data),
-                   out_shardings=(state_sh, repl), donate_argnums=(0,))
+                   out_shardings=(state_sh, aux_sh), donate_argnums=(0,))
 
 
 def make_eval_step(task: BaseTask, mesh: Optional[Mesh] = None,
