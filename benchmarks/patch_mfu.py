@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Recompute the MFU/TFLOP columns of benchmarks/results.json on CPU.
 
-FLOPs come from XLA's unoptimized-HLO cost analysis of the PURE-XLA
-lowering (VLP_DISABLE_PALLAS=1 — custom calls are opaque to the analysis;
-model FLOPs are path-independent). Lower-only, no compile: runs in seconds
-on the CPU host, so recorded step times from a TPU run can be re-annotated
-without touching the chip.
+FLOPs come from XLA's cost analysis of the PURE-XLA lowering
+(VLP_DISABLE_PALLAS=1 — custom calls are opaque to the analysis; model
+FLOPs are path-independent). jax>=0.9 removed the lowered-HLO analysis
+(returns None), so this falls back to compiling the module on the CPU
+host — slower than the old lower-only path but still never touches the
+chip, so recorded step times from a TPU run can be re-annotated offline.
 """
 from __future__ import annotations
 
@@ -29,6 +30,18 @@ def main() -> None:
     from vlp_tpu.train.optim import make_optimizer
     from vlp_tpu.train.state import TrainState
     from vlp_tpu.train.step import make_train_step
+
+    def flops_of(fn, abstract) -> float:
+        """Cost-analysis flops of fn at abstract args: lowered analysis
+        when the jax version still provides it, else the compiled
+        module's (jax>=0.9)."""
+        lowered = fn.lower(*abstract)
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if not ca or not ca.get("flops"):
+            ca = lowered.compile().cost_analysis()
+        return float(ca.get("flops", 0)) if ca else 0.0
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results.json")
@@ -58,14 +71,19 @@ def main() -> None:
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
             (variables, one))
-        f = float(fn.lower(*abstract).cost_analysis().get("flops", 0))
+        f = flops_of(fn, abstract)
         if f > 0:
             step_s = res["classifier_infer"]["step_ms"] / 1e3
             tf = f / step_s / 1e12
             res["classifier_infer"].update(
                 hlo_tflops_per_step=round(f / 1e12, 3),
                 hlo_tflops_per_sec=round(tf, 1),
-                hlo_mfu_pct=round(100 * tf / peak, 1))
+                hlo_mfu_pct=round(100 * tf / peak, 1),
+                # inference IS the forward pass: analytic = hlo forward
+                # (forward dots/convs are counted at the standard 2*MAC)
+                analytic_tflops_per_step=round(f / 1e12, 3),
+                analytic_tflops_per_sec=round(tf, 1),
+                analytic_mfu_pct=round(100 * tf / peak, 1))
             print(f"classifier_infer: {f/1e12:.3f} TF/step", flush=True)
 
     rng = np.random.default_rng(0)
@@ -106,8 +124,7 @@ def main() -> None:
         step = make_train_step(task, tx, mesh=None)
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (state, one))
-        ca = step.lower(*abstract).cost_analysis()
-        f = float(ca.get("flops", 0))  # per step
+        f = flops_of(step, abstract)  # per step
         if f <= 0:
             continue
         step_s = res[name]["step_ms"] / 1e3
@@ -115,8 +132,39 @@ def main() -> None:
         res[name]["hlo_tflops_per_step"] = round(f / 1e12, 3)
         res[name]["hlo_tflops_per_sec"] = round(tf, 1)
         res[name]["hlo_mfu_pct"] = round(100 * tf / peak, 1)
-        print(f"{name}: {f/1e12:.3f} TF/step, {tf:.1f} TF/s, "
-              f"{100*tf/peak:.1f}% MFU", flush=True)
+        # analytic convention (VERDICT r3 #3): forward-only eval lowering
+        # (2*MAC dots/convs, no augmentation/optimizer/remat) x3 for
+        # fwd+bwd — the 6ND convention. QUOTE THIS as MFU.
+        fwd_fn = jax.jit(lambda v, b: task.eval_fn(v, b)["loss"])
+        abstract_fwd = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (variables, one))
+        fwd = flops_of(fwd_fn, abstract_fwd)
+        extra = ""
+        if fwd > 0:
+            atf = 3 * fwd / step_s / 1e12
+            res[name]["analytic_tflops_per_step"] = round(3 * fwd / 1e12, 3)
+            res[name]["analytic_tflops_per_sec"] = round(atf, 1)
+            res[name]["analytic_mfu_pct"] = round(100 * atf / peak, 1)
+            extra = f"; analytic {3*fwd/1e12:.3f} TF/step = " \
+                    f"{100*atf/peak:.1f}% MFU"
+        print(f"{name}: hlo {f/1e12:.3f} TF/step, {tf:.1f} TF/s, "
+              f"{100*tf/peak:.1f}%{extra}", flush=True)
+    # batch-sweep entries (vlp_train_b64/...): analytic FLOPs scale
+    # linearly in batch, so derive from the annotated vlp_train (B) entry
+    # instead of paying a compile per batch size
+    base = res.get("vlp_train", {})
+    if "analytic_tflops_per_step" in base:
+        per_img = base["analytic_tflops_per_step"] / B
+        for name, entry in res.items():
+            if (name.startswith("vlp_train_b") and isinstance(entry, dict)
+                    and "step_ms" in entry):
+                b = int(name.rsplit("b", 1)[1])
+                tf_step = per_img * b
+                atf = tf_step / (entry["step_ms"] / 1e3)
+                entry["analytic_tflops_per_step"] = round(tf_step, 3)
+                entry["analytic_tflops_per_sec"] = round(atf, 1)
+                entry["analytic_mfu_pct"] = round(100 * atf / peak, 1)
     # rewrite the convention note with THE peak these columns were just
     # computed with (a preserved note would go stale under an overridden
     # BENCH_PEAK_TFLOPS)

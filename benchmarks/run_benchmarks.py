@@ -54,16 +54,22 @@ BACKBONE_ENTRIES = {
 
 
 def mfu_convention(peak_tflops: float) -> str:
-    """The hlo_* columns' convention note — built from the SAME peak used
-    to compute hlo_mfu_pct so note and columns can never disagree (shared
-    with patch_mfu.py's offline re-annotation)."""
+    """The FLOPs columns' convention note — built from the SAME peak used
+    to compute the mfu columns so note and columns can never disagree
+    (shared with patch_mfu.py's offline re-annotation)."""
     return (
-        "hlo_* fields: FLOPs = XLA unoptimized-HLO cost analysis of the "
-        "pure-XLA lowering (VLP_DISABLE_PALLAS; counts ~2x the standard "
-        "analytic 2*MAC convention — includes augmentation/loss/optimizer "
-        "and generous conv-backward accounting). CONSISTENT across "
-        "entries/rounds for regression tracking; do not read hlo_mfu_pct "
-        "as true MFU. Peak = %g TFLOP/s bf16." % peak_tflops)
+        "analytic_* fields are TRUE MFU (VERDICT r3 #3): FLOPs = 3x the "
+        "forward-only eval lowering's XLA cost analysis — forward dots/"
+        "convs are counted at the standard 2*MAC, and train = fwd + bwd "
+        "~ 3x fwd (the 6ND convention); no augmentation/optimizer FLOPs. "
+        "QUOTE analytic_mfu_pct as MFU. hlo_* fields: XLA unoptimized-HLO "
+        "cost analysis of the full pure-XLA train step (VLP_DISABLE_PALLAS; "
+        "~2x the analytic convention — includes augmentation/loss/optimizer "
+        "and generous conv-backward accounting); kept CONSISTENT across "
+        "rounds for regression tracking only. jax>=0.9 removed the "
+        "lowered-HLO analysis, so counts now come from the COMPILED "
+        "pure-XLA module (exact 2*MAC for dots). Peak = %g TFLOP/s bf16."
+        % peak_tflops)
 
 
 def main() -> None:
@@ -79,7 +85,12 @@ def main() -> None:
     from vlp_tpu.train.step import make_scanned_train_step
 
     B = int(os.environ.get("BENCH_BATCH", "128"))
-    K = int(os.environ.get("BENCH_STEPS", "10"))
+    # K=20 matches bench.py EXACTLY (VERDICT r3 #4: one throughput
+    # convention — same batch/steps/repeats/aggregate; the old K=10 runs
+    # read ~6% lower purely from dispatch-overhead amortization: overhead
+    # is ~37 ms per scan dispatch on the remote-PJRT tunnel, 1.85 ms/step
+    # at K=20 vs 3.7 ms/step at K=10)
+    K = int(os.environ.get("BENCH_STEPS", "20"))
     # MFU accounting (VERDICT r2 #9): model FLOPs from XLA's cost analysis
     # of the compiled module; peak from the device (v5e bf16 ~197 TFLOP/s),
     # overridable for other chips.
@@ -91,18 +102,24 @@ def main() -> None:
         the analysis, so ``make_jitted`` builds a FRESH jit wrapper which
         is traced under VLP_DISABLE_PALLAS=1 — model FLOPs are
         path-independent, and a fresh wrapper keeps the kill-switch trace
-        out of the timed step's cache. Lowering only, no compile. The
-        count includes augmentation/loss/optimizer work and XLA's generous
-        strided-conv-backward accounting — treat as the consistent
-        HLO-flop convention, not an exact MAC count."""
+        out of the timed step's cache. jax>=0.9 returns None from the
+        lowered (unoptimized-HLO) analysis, so fall back to the COMPILED
+        module's count (persistent compile cache keeps re-runs cheap; the
+        optimized count is the more accurate one anyway — exact 2*MAC for
+        dots). The train-step count still includes augmentation/loss/
+        optimizer/remat work — treat as the consistent HLO-flop
+        convention, not the MFU numerator."""
         prior = os.environ.get("VLP_DISABLE_PALLAS")
         try:
             os.environ["VLP_DISABLE_PALLAS"] = "1"
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args)
-            ca = make_jitted().lower(*abstract).cost_analysis()
+            lowered = make_jitted().lower(*abstract)
+            ca = lowered.cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
+            if not ca or not ca.get("flops"):
+                ca = lowered.compile().cost_analysis()
             f = ca.get("flops") if ca else None
             return float(f) if f and f > 0 else None
         except Exception:
@@ -119,46 +136,78 @@ def main() -> None:
             # the persistent compile cache keeps recompiles cheap
             jax.clear_caches()
 
-    def eff_fields(entry, flops_per_step, step_s):
+    def eff_fields(entry, flops_per_step, step_s, analytic_flops=None):
         if flops_per_step:
             tf = flops_per_step / step_s / 1e12
             entry["hlo_tflops_per_step"] = round(flops_per_step / 1e12, 3)
             entry["hlo_tflops_per_sec"] = round(tf, 1)
             entry["hlo_mfu_pct"] = round(100 * tf / peak_tflops, 1)
+        if analytic_flops:
+            tf = analytic_flops / step_s / 1e12
+            entry["analytic_tflops_per_step"] = round(analytic_flops / 1e12,
+                                                      3)
+            entry["analytic_tflops_per_sec"] = round(tf, 1)
+            entry["analytic_mfu_pct"] = round(100 * tf / peak_tflops, 1)
         return entry
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0]),
                "platform": platform.platform(),
-               "batch_size": B, "steps_per_measurement": K}
+               "batch_size": B, "steps_per_measurement": K,
+               "protocol": {
+                   "batch": B, "steps_per_scan": K, "repeats": 3,
+                   "aggregate": "min",
+                   "measurement": "jitted lax.scan of K steps, final value "
+                                  "fetched (forced execution, one dispatch)",
+                   "identical_to_bench_py": K == 20 and B == 128}}
 
-    def batches(task_kind):
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.json")
+
+    def checkpoint_results():
+        """Merge + write after EVERY section: an exception (or preemption)
+        in a later section must not lose an hour of TPU measurements."""
+        merged = {}
+        if os.path.exists(out_path):  # preserve entries other runs recorded
+            with open(out_path) as fh:
+                merged = json.load(fh)
+            # superseded by the backbone_* real-optimizer entries
+            merged.pop("backbone_train_images_per_sec", None)
+        merged.update(results)
+        merged["mfu_convention"] = mfu_convention(peak_tflops)
+        with open(out_path, "w") as fh:
+            json.dump(merged, fh, indent=2)
+
+    def batches(task_kind, b=None):
+        b = b or B
         base = {
             "image_u8": jnp.asarray(rng.integers(
-                0, 255, (K, B, 224, 224), dtype=np.uint8)),
-            "label": jnp.zeros((K, B), jnp.int32),
-            "mask": jnp.ones((K, B), jnp.float32),
+                0, 255, (K, b, 224, 224), dtype=np.uint8)),
+            "label": jnp.zeros((K, b), jnp.int32),
+            "mask": jnp.ones((K, b), jnp.float32),
         }
         if task_kind == "vision_language":
             base.update({
                 "input_ids": jnp.asarray(rng.integers(
-                    0, 30000, (K, B, 40), dtype=np.int32)),
-                "attention_mask": jnp.ones((K, B, 40), jnp.int32),
-                "caption_id": jnp.tile(jnp.arange(B, dtype=jnp.int32), (K, 1)),
+                    0, 30000, (K, b, 40), dtype=np.int32)),
+                "attention_mask": jnp.ones((K, b, 40), jnp.int32),
+                "caption_id": jnp.tile(jnp.arange(b, dtype=jnp.int32), (K, 1)),
             })
         else:
             base.update({
                 "dataset_id": jnp.tile(
-                    jnp.asarray(rng.integers(0, 2, B, dtype=np.int32)), (K, 1)),
-                "clinical": jnp.zeros((K, B, 15), jnp.float32),
+                    jnp.asarray(rng.integers(0, 2, b, dtype=np.int32)), (K, 1)),
+                "clinical": jnp.zeros((K, b, 15), jnp.float32),
             })
         return base
 
-    def measure_train(name, task_cfg):
+    def measure_train(name, task_cfg, batch=None, with_flops=True):
+        b = batch or B
         cfg = Config()
         for k, v in task_cfg.items():
             setattr(cfg.model, k, v)
+        cfg.data.batch_size = b
         task = build_task(cfg, TaskStatics(mean=128.0, std=30.0))
-        bb = batches(cfg.model.task)
+        bb = batches(cfg.model.task, b)
         one = {k: v[0] for k, v in bb.items()}
         variables = task.init_variables(jax.random.key(0), one)
         tx = make_optimizer(cfg, variables["params"], 100)
@@ -171,7 +220,16 @@ def main() -> None:
         # counts a while-loop body once regardless of trip count
         from vlp_tpu.train.step import make_train_step as _mts
 
-        flops = module_flops(lambda: _mts(task, tx, mesh=None), state, one)
+        flops = fwd = None
+        if with_flops:
+            flops = module_flops(lambda: _mts(task, tx, mesh=None),
+                                 state, one)
+            # analytic convention: forward-only eval lowering counts dots/
+            # convs at the standard 2*MAC (no augmentation, no optimizer);
+            # train = fwd + bwd ~ 3x fwd
+            fwd = module_flops(
+                lambda: jax.jit(lambda v, b: task.eval_fn(v, b)["loss"]),
+                variables, one)
         state, aux = step(state, bb)
         float(jax.device_get(aux["loss"][-1]))
         ts = []
@@ -180,11 +238,11 @@ def main() -> None:
             state, aux = step(state, bb)
             float(jax.device_get(aux["loss"][-1]))
             ts.append(time.perf_counter() - t0)
-        ips = B * K / min(ts)
+        ips = b * K / min(ts)
         results[name] = eff_fields(
             {"images_per_sec": round(ips, 1),
              "step_ms": round(min(ts) / K * 1e3, 2)},
-            flops, min(ts) / K)
+            flops, min(ts) / K, analytic_flops=3 * fwd if fwd else None)
         extra = ""
         if "hlo_mfu_pct" in results[name]:
             extra = (f", {results[name]['hlo_tflops_per_sec']} TF/s = "
@@ -195,6 +253,23 @@ def main() -> None:
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         for name, task_cfg in TRAIN_ENTRIES.items():
             measure_train(name, task_cfg)
+        checkpoint_results()
+
+    # img/s-vs-batch curve for the headline VLP step (VERDICT r3 #7): the
+    # remaining single-chip lever is input-level — record where throughput
+    # saturates and whether HBM allows 256/512 with the resident corpus.
+    if os.environ.get("BENCH_BATCH_SWEEP", "0") == "1":
+        for b in (64, 128, 256, 512):
+            try:
+                # analytic FLOPs scale linearly in batch; patch_mfu.py
+                # derives these entries' columns from vlp_train's, no
+                # per-batch-size compile needed
+                measure_train(f"vlp_train_b{b}", TRAIN_ENTRIES["vlp_train"],
+                              batch=b, with_flops=False)
+            except Exception as e:  # OOM at large batch is itself a result
+                results[f"vlp_train_b{b}"] = {"error": str(e)[:300]}
+                print(f"vlp_train_b{b}: FAILED ({str(e)[:120]})", flush=True)
+        checkpoint_results()
 
     # transformer/large backbones through the same real-optimizer scan
     # (supersedes the hand-recorded backbone_train_images_per_sec entries);
@@ -202,6 +277,7 @@ def main() -> None:
     if os.environ.get("BENCH_BACKBONES", "1") == "1":
         for name, task_cfg in BACKBONE_ENTRIES.items():
             measure_train(name, task_cfg)
+        checkpoint_results()
 
     if os.environ.get("BENCH_INFER", "1") == "1":
         # inference
@@ -235,7 +311,9 @@ def main() -> None:
         results["classifier_infer"] = eff_fields(
             {"images_per_sec": round(B * K / min(ts), 1),
              "step_ms": round(min(ts) / K * 1e3, 2)},
-            infer_flops, min(ts) / K)
+            infer_flops, min(ts) / K,
+            # inference IS the forward pass: analytic = 1x forward
+            analytic_flops=infer_flops)
         print(f"classifier_infer: {B*K/min(ts):.0f} img/s", flush=True)
 
         # augmentation alone
@@ -260,6 +338,7 @@ def main() -> None:
         results["augmentation"] = {"images_per_sec": round(B / dt, 1),
                                    "step_ms": round(dt * 1e3, 2)}
         print(f"augmentation: {B/dt:.0f} img/s", flush=True)
+        checkpoint_results()
 
     # val_epoch: scanned K-batch validation vs per-batch dispatch
     # (VERDICT r2 #6 acceptance: val-epoch wall time on record)
@@ -297,6 +376,37 @@ def main() -> None:
             results[label] = {"seconds": round(min(ts), 3)}
             print(f"{label}: {min(ts):.3f} s", flush=True)
 
+        # VLP validation epoch: retrieval metrics over the full epoch's
+        # embeddings, on-device masked top-k (VERDICT r3 #6 acceptance —
+        # val-epoch wall seconds on record; the pre-r4 path device_get ->
+        # host-concat -> re-upload'ed every chunk)
+        from vlp_tpu.config import apply_overrides as _ao, \
+            get_experiment as _ge
+        from vlp_tpu.train.loop import Trainer as _Tr
+
+        vcfg = _ge("smoke_synthetic_pretrain")
+        vcfg = _ao(vcfg, [
+            "model.model=resnet34", "model.text_model=tinybert",
+            "data.image_size=224", "data.batch_size=128",
+            "data.eval_batch_size=128", "data.max_token_length=40",
+            f"data.synthetic_num_samples={40 * B}",
+            "downstream_data.synthetic_num_samples=64",
+            "trainer.scan_steps=8",
+        ])
+        dm = build_datamodule(vcfg, mesh=None)
+        fold = next(dm.folds())
+        task = _bt(vcfg, fold.statics)
+        tr = _Tr(vcfg, task, fold.train_loader, fold.val_loaders)
+        tr._validate_vlp()  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tr._validate_vlp()
+            ts.append(time.perf_counter() - t0)
+        results["vlp_val_epoch_scanned"] = {"seconds": round(min(ts), 3)}
+        print(f"vlp_val_epoch_scanned: {min(ts):.3f} s", flush=True)
+        checkpoint_results()
+
     # trainer_loop: the DELIVERED Trainer.fit path (scanned K-step dispatch,
     # host pipeline, device prefetch) on synthetic 224px pretrain data —
     # must stay within ~10% of the vlp_train scan-microbenchmark number
@@ -320,6 +430,9 @@ def main() -> None:
             f"data.synthetic_num_samples={nbatch * B}",
             "downstream_data.synthetic_num_samples=64",
             "trainer.max_epochs=2", "trainer.precision=bf16",
+            # like-for-like with the vlp_train scan microbenchmark: same
+            # K=20 steps per dispatch (VERDICT r3 #4)
+            f"trainer.scan_steps={K}",
             # probe/pak run OUTSIDE the timed train loop; tiny downstream
             # set keeps their wall cost negligible
         ])
@@ -332,21 +445,14 @@ def main() -> None:
         results["trainer_loop"] = {
             "images_per_sec": round(max(ips), 1),  # epoch 0 pays compile
             "epochs_measured": len(ips)}
+        if "vlp_train" in results and "images_per_sec" in results.get(
+                "vlp_train", {}):
+            results["trainer_loop"]["pct_of_vlp_train"] = round(
+                100 * max(ips) / results["vlp_train"]["images_per_sec"], 1)
         print(f"trainer_loop: {max(ips):.0f} img/s (epochs: "
               f"{[round(x) for x in ips]})", flush=True)
 
-    results["mfu_convention"] = mfu_convention(peak_tflops)
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results.json")
-    if os.path.exists(out_path):  # preserve entries other runs recorded
-        with open(out_path) as fh:
-            merged = json.load(fh)
-        # superseded by the backbone_* real-optimizer entries
-        merged.pop("backbone_train_images_per_sec", None)
-        merged.update(results)
-        results = merged
-    with open(out_path, "w") as fh:
-        json.dump(results, fh, indent=2)
+    checkpoint_results()
     print(f"wrote {out_path}", flush=True)
 
 

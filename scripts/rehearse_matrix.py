@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Full-matrix rehearsal: the thesis deliverable end-to-end, unattended.
+
+The reference's headline output is the 9-experiment x 4-fold results table
+(reference README.md:138-150, produced manually via training runs + the
+Evaluation notebooks). This script rehearses the WHOLE pipeline at synthetic
+smoke scale in ONE command:
+
+    python scripts/rehearse_matrix.py --out outputs/rehearsal
+
+flow per row: driver train() -> 4-fold CV -> per-fold best checkpoints ->
+``test=true`` frozen-test eval (per-subgroup long CSV) ->
+``eval/results_table.py`` render -> ``docs/REHEARSAL.md``.
+
+The VLP rows first pretrain a dual tower on synthetic caption data, then
+warm-start from its checkpoint through the real encoder-graft path
+(train/driver.py _maybe_warm_start). Real full-depth towers are used
+(ResNet34/ResNet50 at a reduced image size; NesT-S at its native 224).
+Numbers are on synthetic noise — the artifact proves ORCHESTRATION, not
+model quality: every row flows through the same driver/CV/frozen-test/
+aggregation path a real-data run would use, with zero manual glue.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+# CPU-only, 8 virtual devices: rehearses the sharded path like tests do,
+# and must never touch the (shared, single) TPU chip.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_use_thunk_runtime" not in flags:
+    flags += " --xla_cpu_use_thunk_runtime=false"  # see tests/conftest.py
+os.environ["XLA_FLAGS"] = flags.strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# persistent compile cache: folds/rows share programs (1-core host)
+from vlp_tpu.utils.cache import host_scoped_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    host_scoped_cache_dir(os.path.join(REPO, ".jax_cache"), "cpu8"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from vlp_tpu.config import get_experiment  # noqa: E402
+from vlp_tpu.train.driver import train  # noqa: E402
+
+# The 9 reference matrix rows (reference README.md:120-129) -> our
+# registered experiments. (section, experiment label, model label, name)
+MATRIX = [
+    ("Imaging", "Scratch Baseline", "ResNet34",
+     "baseline_only_imaging_resnet34"),
+    ("Imaging", "Scratch Baseline", "NesT-S",
+     "baseline_only_imaging_nest_small"),
+    ("Imaging", "VLP Linear Probe (ours)", "ResNet34",
+     "vlp_linear_probe_resnet34"),
+    ("Imaging", "VLP Finetune (ours)", "ResNet34",
+     "vlp_finetune_only_imaging_resnet34"),
+    ("Imaging", "Torchxrayvision Finetune", "ResNet50",
+     "baseline_only_imaging_xrv_resnet50"),
+    ("Imaging+Clinical", "Scratch Baseline", "ResNet34",
+     "baseline_fusion_resnet34"),
+    ("Imaging+Clinical", "Scratch Baseline", "NesT-S",
+     "baseline_fusion_nest_small"),
+    ("Imaging+Clinical", "VLP Finetune (ours)", "ResNet34",
+     "vlp_finetune_fusion_resnet34"),
+    ("Imaging+Clinical", "Torchxrayvision Finetune", "ResNet50",
+     "fusion_xrv_resnet50"),
+]
+
+PRETRAIN_EXPERIMENT = "pretrain_resnet34_distilbert"
+
+
+def smoke_scale(cfg, out_dir: str, image_size: int, n_samples: int,
+                epochs: int):
+    """Uniform smoke-scale overrides; every registry-declared knob
+    (backbone, monitor, loss_variant, lr, scheduler, ...) is KEPT."""
+    d = cfg.data
+    d.name = ("synthetic_pretrain" if cfg.model.task == "vision_language"
+              else "synthetic_downstream")
+    d.image_size = image_size
+    d.batch_size = min(d.batch_size, 8)
+    d.eval_batch_size = 8
+    d.synthetic_num_samples = n_samples
+    if cfg.model.task == "vision_language":
+        d.max_token_length = 16
+        dd = cfg.downstream_data
+        dd.name = "synthetic_downstream"
+        dd.image_size = image_size
+        dd.batch_size = 8
+        dd.eval_batch_size = 8
+        dd.synthetic_num_samples = 32
+    cfg.trainer.max_epochs = epochs
+    cfg.trainer.scan_steps = 2
+    cfg.trainer.linear_probe_every_n_epochs = 1
+    cfg.output_dir = out_dir
+    return cfg
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default=os.path.join(REPO, "outputs",
+                                                 "rehearsal"))
+    p.add_argument("--image-size", type=int, default=64,
+                   help="ResNet rows' image size (NesT-S is fixed at 224)")
+    p.add_argument("--samples", type=int, default=96,
+                   help="synthetic downstream samples (25%% become the "
+                        "frozen test split; rest 4-fold CV)")
+    p.add_argument("--nest-samples", type=int, default=48,
+                   help="sample count for the 224px NesT rows")
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--doc", default=os.path.join(REPO, "docs",
+                                                 "REHEARSAL.md"))
+    args = p.parse_args(argv)
+    t_start = time.time()
+    os.makedirs(args.out, exist_ok=True)
+
+    # 1) VLP pretrain at smoke scale -> warm-start checkpoint for the
+    #    finetune/linear-probe rows (their pretrained_ckpt is REQUIRED:).
+    pre_dir = os.path.join(args.out, "vlp_pretrain")
+    print(f"[rehearsal] pretraining {PRETRAIN_EXPERIMENT} -> {pre_dir}",
+          flush=True)
+    cfg = smoke_scale(get_experiment(PRETRAIN_EXPERIMENT), pre_dir,
+                      args.image_size, 64, args.epochs)
+    cfg.k_fold_cross_validation = False  # one pretrain fold is enough
+    train(cfg)
+    ckpts = sorted(d for d in glob.glob(
+        os.path.join(pre_dir, "checkpoints", "fold0", "epoch*"))
+        if os.path.isdir(d))
+    assert ckpts, "VLP pretrain produced no checkpoint"
+    vlp_ckpt = ckpts[-1]
+    print(f"[rehearsal] VLP warm-start checkpoint: {vlp_ckpt}", flush=True)
+
+    # 2) the 9 matrix rows: 4-fold CV + frozen-test eval each.
+    spec_rows = []
+    for section, label, model, name in MATRIX:
+        run_dir = os.path.join(args.out, name)
+        is_nest = "nest" in name
+        cfg = smoke_scale(get_experiment(name), run_dir,
+                          224 if is_nest else args.image_size,
+                          args.nest_samples if is_nest else args.samples,
+                          args.epochs)
+        cfg.test = True  # frozen-test eval after CV (driver test=true path)
+        cfg.k_fold_cross_validation = True
+        if (cfg.model.pretrained_ckpt or "").startswith("REQUIRED:"):
+            cfg.model.pretrained_ckpt = vlp_ckpt
+        print(f"[rehearsal] {section} / {label} / {model}: {name} "
+              f"({cfg.data.n_folds_downstream}-fold CV + frozen test)",
+              flush=True)
+        t0 = time.time()
+        agg = train(cfg)
+        test_keys = {k: round(v, 4) for k, v in agg.items()
+                     if k.startswith("test/")}
+        print(f"[rehearsal] {name} done in {time.time()-t0:.0f}s; "
+              f"frozen-test: {test_keys}", flush=True)
+        assert os.path.exists(os.path.join(run_dir, "test_eval.csv")), \
+            f"{name}: driver test=true produced no test_eval.csv"
+        spec_rows.append({"section": section, "experiment": label,
+                          "model": model, "run_dir": run_dir})
+
+    # 3) render the README-style table through the real tooling.
+    import yaml
+
+    spec = {"title": "REHEARSAL — synthetic smoke scale, 4-fold CV, frozen "
+                     "test split (orchestration proof, not model quality)",
+            "rows": spec_rows}
+    spec_path = os.path.join(args.out, "matrix_spec.yaml")
+    with open(spec_path, "w") as fh:
+        yaml.safe_dump(spec, fh)
+    from vlp_tpu.eval import results_table
+
+    md, tidy = results_table.render_markdown(spec)
+    tidy.to_csv(os.path.join(args.out, "matrix_tidy.csv"), index=False)
+
+    # 4) the committed artifact.
+    os.makedirs(os.path.dirname(args.doc), exist_ok=True)
+    cmd = "python scripts/rehearse_matrix.py"
+    with open(args.doc, "w") as fh:
+        fh.write(f"""# Full-matrix rehearsal (thesis-deliverable dry run)
+
+The reference's final output is a 9-experiment x 4-fold results table
+(reference README.md:138-150). This artifact proves the same deliverable
+flows through vlp_tpu END TO END — driver -> k-fold CV -> best checkpoints
+-> frozen-test eval -> per-subgroup CSV -> aggregated mean±std table — in
+one unattended command, with zero manual glue:
+
+```bash
+{cmd}
+```
+
+Scale: synthetic data ({args.samples} downstream samples, 25% frozen test,
+image {args.image_size}px for ResNet rows / 224px native for NesT-S,
+{args.epochs} epochs, batch 8, CPU-8 virtual mesh), REAL full-depth towers,
+real warm-start graft from a freshly pretrained VLP checkpoint. **The
+numbers below are synthetic-noise numbers** — they demonstrate the
+orchestration path, not model quality (real datasets are unavailable in
+this environment; see STATUS.md).
+
+{md}
+Produced {time.strftime('%Y-%m-%d %H:%M:%S')} in {time.time()-t_start:.0f}s
+on a 1-core CPU host (8 virtual XLA devices). Tidy CSV + per-row run dirs
+(checkpoints, metrics JSONL, test_eval.csv, plots) under `{args.out}/`.
+""")
+    print(md)
+    print(f"[rehearsal] artifact -> {args.doc} "
+          f"({time.time()-t_start:.0f}s total)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

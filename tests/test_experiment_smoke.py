@@ -19,6 +19,13 @@ What is deliberately scaled down (uniformly, for a 1-core CI host):
 - image size 32 px, synthetic fixtures, 1 epoch, fold 0 only.
 - Pallas kernels off (``VLP_DISABLE_PALLAS=1``): kernel parity has its own
   suite (tests/test_fused_block.py etc.); this file tests REGISTRY wiring.
+- 1-device mesh: multi-device correctness has its own suite
+  (test_resident_mesh.py, test_kernel_shard.py, dryrun_multichip). Running
+  61 driver fits over the 8-virtual-device mesh adds nothing this file
+  tests for, costs ~2x wall time on the 1-core host, and XLA:CPU's
+  thunk-runtime collective scheduling aborts the process intermittently
+  under that load (the sequential-runtime opt-out was removed upstream;
+  "xla_cpu_use_thunk_runtime is no longer supported").
 
 The ``vlp_finetune_*``/``vlp_linear_probe_*`` experiments declare
 ``pretrained_ckpt=REQUIRED:...`` (reference finetune yamls point at a VLP
@@ -95,6 +102,7 @@ def _smoke_cfg(name: str, out_dir: str, vlp_ckpt: str = ""):
     cfg.trainer.scan_steps = 1
     cfg.trainer.linear_probe_every_n_epochs = 1
     cfg.k_fold_cross_validation = False  # fold 0 only
+    cfg.mesh.data_parallel = 1  # see module docstring
     if (cfg.model.pretrained_ckpt or "").startswith("REQUIRED:"):
         assert vlp_ckpt, f"{name} needs the vlp_ckpt fixture"
         cfg.model.pretrained_ckpt = vlp_ckpt
