@@ -59,17 +59,17 @@ def mfu_convention(peak_tflops: float) -> str:
     (shared with patch_mfu.py's offline re-annotation)."""
     return (
         "analytic_* fields are TRUE MFU (VERDICT r3 #3): FLOPs = 3x the "
-        "forward-only eval lowering's XLA cost analysis — forward dots/"
-        "convs are counted at the standard 2*MAC, and train = fwd + bwd "
-        "~ 3x fwd (the 6ND convention); no augmentation/optimizer FLOPs. "
-        "QUOTE analytic_mfu_pct as MFU. hlo_* fields: XLA unoptimized-HLO "
-        "cost analysis of the full pure-XLA train step (VLP_DISABLE_PALLAS; "
-        "~2x the analytic convention — includes augmentation/loss/optimizer "
-        "and generous conv-backward accounting); kept CONSISTENT across "
-        "rounds for regression tracking only. jax>=0.9 removed the "
-        "lowered-HLO analysis, so counts now come from the COMPILED "
-        "pure-XLA module (exact 2*MAC for dots). Peak = %g TFLOP/s bf16."
-        % peak_tflops)
+        "forward's textbook 2*MAC count (vlp_tpu/utils/flops.py jaxpr "
+        "walk over dot/conv equations — validated against timm GMACs in "
+        "tests/test_flops.py; train = fwd + bwd ~ 3x fwd, the 6ND "
+        "convention; no augmentation/optimizer FLOPs). QUOTE "
+        "analytic_mfu_pct as MFU. hlo_* fields: XLA cost analysis of the "
+        "full pure-XLA train step (VLP_DISABLE_PALLAS) — through jax 0.8 "
+        "the unoptimized-HLO count (~2x analytic: generous conv-backward "
+        "accounting), from jax 0.9 the COMPILED module's count (lowered "
+        "analysis was removed; agrees with analytic within a few %% on "
+        "these models) — regression tracking only, convention shifted "
+        "with the jax upgrade. Peak = %g TFLOP/s bf16." % peak_tflops)
 
 
 def main() -> None:
@@ -83,6 +83,7 @@ def main() -> None:
     from vlp_tpu.train.optim import make_optimizer
     from vlp_tpu.train.state import TrainState
     from vlp_tpu.train.step import make_scanned_train_step
+    from vlp_tpu.utils.flops import analytic_flops
 
     B = int(os.environ.get("BENCH_BATCH", "128"))
     # K=20 matches bench.py EXACTLY (VERDICT r3 #4: one throughput
@@ -224,12 +225,12 @@ def main() -> None:
         if with_flops:
             flops = module_flops(lambda: _mts(task, tx, mesh=None),
                                  state, one)
-            # analytic convention: forward-only eval lowering counts dots/
-            # convs at the standard 2*MAC (no augmentation, no optimizer);
-            # train = fwd + bwd ~ 3x fwd
-            fwd = module_flops(
-                lambda: jax.jit(lambda v, b: task.eval_fn(v, b)["loss"]),
-                variables, one)
+            # analytic convention: textbook 2*MAC over the forward's
+            # dot/conv equations (jaxpr walk — no augmentation, no
+            # optimizer, no platform rewrites; validated against timm
+            # GMACs in tests/test_flops.py); train = fwd + bwd ~ 3x fwd
+            fwd = analytic_flops(
+                lambda v, b: task.eval_fn(v, b)["loss"], variables, one)
         state, aux = step(state, bb)
         float(jax.device_get(aux["loss"][-1]))
         ts = []
@@ -312,8 +313,8 @@ def main() -> None:
             {"images_per_sec": round(B * K / min(ts), 1),
              "step_ms": round(min(ts) / K * 1e3, 2)},
             infer_flops, min(ts) / K,
-            # inference IS the forward pass: analytic = 1x forward
-            analytic_flops=infer_flops)
+            # inference IS the forward pass: analytic = 1x forward 2*MAC
+            analytic_flops=analytic_flops(_infer_one, variables, one))
         print(f"classifier_infer: {B*K/min(ts):.0f} img/s", flush=True)
 
         # augmentation alone
@@ -418,11 +419,13 @@ def main() -> None:
         from vlp_tpu.train.driver import train as driver_train
 
         cfg = get_experiment("smoke_synthetic_pretrain")
-        # epoch length: real MURA+LERA is ~700 batches/epoch; a 10-batch
-        # epoch over-weights the epoch-boundary costs (ragged-tail
-        # dispatches, ramp) ~70x relative to production. 40 batches keeps
-        # the run short while approximating steady state.
-        nbatch = int(os.environ.get("BENCH_TRAINER_EPOCH_BATCHES", "40"))
+        # epoch length: real MURA+LERA is ~700 batches/epoch; a short
+        # epoch over-weights epoch-boundary costs (pipeline ramp, metric
+        # fetch) relative to production. At K=20 steps/dispatch, 40
+        # batches = 2 dispatches/epoch — boundary costs land on HALF the
+        # dispatches. 200 batches (10 dispatches, ~6 s/epoch) measures
+        # steady state while staying cheap.
+        nbatch = int(os.environ.get("BENCH_TRAINER_EPOCH_BATCHES", "200"))
         cfg = apply_overrides(cfg, [
             "model.model=resnet34", "model.text_model=tinybert",
             "data.image_size=224", "data.batch_size=128",
@@ -445,10 +448,13 @@ def main() -> None:
         results["trainer_loop"] = {
             "images_per_sec": round(max(ips), 1),  # epoch 0 pays compile
             "epochs_measured": len(ips)}
-        if "vlp_train" in results and "images_per_sec" in results.get(
-                "vlp_train", {}):
+        base = results.get("vlp_train")
+        if not base and os.path.exists(out_path):  # section-only run
+            with open(out_path) as fh:
+                base = json.load(fh).get("vlp_train")
+        if base and "images_per_sec" in base:
             results["trainer_loop"]["pct_of_vlp_train"] = round(
-                100 * max(ips) / results["vlp_train"]["images_per_sec"], 1)
+                100 * max(ips) / base["images_per_sec"], 1)
         print(f"trainer_loop: {max(ips):.0f} img/s (epochs: "
               f"{[round(x) for x in ips]})", flush=True)
 
