@@ -163,42 +163,44 @@ def main() -> None:
     data, _ = r.xspace_to_tool_data(xplanes, "hlo_stats", {})
     tbl = json.loads(data if isinstance(data, str) else data.decode())
 
-    # hlo_stats rows: locate the column schema, then aggregate self-time
-    # (us) of each megakernel custom call by name substring.
-    rows = tbl if isinstance(tbl, list) else tbl.get("data", tbl)
+    # hlo_stats is a Google DataTable ({cols: [...], rows: [{c: [{v}]}]});
+    # our megakernels appear as tpu_custom_call ops named by the enclosing
+    # Flax scope (l<level>_block<i>.<n>). Classify each call by its HLO
+    # type signature instead of the name:
+    #   fwd  = single (non-tuple) result; bwd = tuple (weight grads)
+    #   attn = leading result is the rank-3 [N, S, D] sample-block tensor
+    #   mlp  = leading result is the rank-2 [rows, D] flattened tensor
+    cols = [c["id"] for c in tbl["cols"]]
     kernel_us = {"lnattn_fwd": 0.0, "lnattn_bwd": 0.0,
                  "lnmlp_fwd": 0.0, "lnmlp_bwd": 0.0}
     other_us = 0.0
+    import re
 
-    def classify(name: str):
-        n = name.lower()
-        if "lnattn" in n or "ln_attention" in n:
-            return "lnattn_bwd" if "bwd" in n else "lnattn_fwd"
-        if "lnmlp" in n or "ln_mlp" in n:
-            return "lnmlp_bwd" if "bwd" in n else "lnmlp_fwd"
-        return None
+    def classify(rec) -> str | None:
+        if rec.get("category") != "custom-call":
+            return None
+        expr = str(rec.get("hlo_op_expression", ""))
+        if 'custom_call_target="tpu_custom_call"' not in expr:
+            return None
+        if not re.match(r"l\d+_block\d+", str(rec.get("hlo_op_name", ""))):
+            return None
+        rhs = expr.split("=", 1)[1].lstrip()
+        bwd = rhs.startswith("(")
+        m = re.search(r"bf16\[([0-9,]+)\]", rhs)
+        if not m:
+            return None
+        rank = m.group(1).count(",") + 1
+        kind = "lnattn" if rank == 3 else "lnmlp"
+        return f"{kind}_{'bwd' if bwd else 'fwd'}"
 
-    header = None
-    for row in rows:
-        if isinstance(row, dict):
-            name = str(row.get("HLO name", row.get("hlo_name",
-                       row.get("name", ""))))
-            t = row.get("Total self time (us)",
-                        row.get("total_self_time_us",
-                                row.get("self_time_us", 0)))
-        else:  # list-of-lists with a header row
-            if header is None:
-                header = [str(c) for c in row]
-                continue
-            rec = dict(zip(header, row))
-            name = str(rec.get("HLO name", rec.get("hlo_name", "")))
-            t = rec.get("Total self time (us)",
-                        rec.get("total_self_time_us", 0))
+    for row in tbl["rows"]:
+        rec = dict(zip(cols, [c.get("v") if isinstance(c, dict) else c
+                              for c in row["c"]]))
         try:
-            t = float(t)
+            t = float(rec.get("total_self_time", 0))  # us
         except (TypeError, ValueError):
             continue
-        key = classify(name)
+        key = classify(rec)
         if key:
             kernel_us[key] += t
         else:
