@@ -37,6 +37,10 @@ if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
 if "xla_cpu_use_thunk_runtime" not in flags:
     flags += " --xla_cpu_use_thunk_runtime=false"  # see tests/conftest.py
+if "collective_call_terminate_timeout" not in flags:
+    # 1-core host: a device thread starved >40s by a concurrent compile
+    # trips the rendezvous hard-abort (see tests/conftest.py)
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=600"
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402

@@ -19,6 +19,16 @@ if "xla_force_host_platform_device_count" not in flags:
 # this 1-core host.
 if "xla_cpu_use_thunk_runtime" not in flags:
     flags = (flags + " --xla_cpu_use_thunk_runtime=false").strip()
+# The thunk executor's collective rendezvous hard-aborts the PROCESS when
+# any device thread is >40s late ("Expected 8 threads to join ... only 7
+# arrived", rendezvous.cc). On this 1-core host a worker thread can be
+# starved that long by a concurrent compile, killing an otherwise-correct
+# run — observed as a flaky SIGABRT roughly every other full-suite run.
+# Raise the timeout so stragglers wait instead of aborting.
+if "collective_call_terminate_timeout" not in flags:
+    flags = (flags +
+             " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+             ).strip()
 os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compile cache (single-core host: compiles dominate cold starts),

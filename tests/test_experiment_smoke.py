@@ -22,10 +22,11 @@ What is deliberately scaled down (uniformly, for a 1-core CI host):
 - 1-device mesh: multi-device correctness has its own suite
   (test_resident_mesh.py, test_kernel_shard.py, dryrun_multichip). Running
   61 driver fits over the 8-virtual-device mesh adds nothing this file
-  tests for, costs ~2x wall time on the 1-core host, and XLA:CPU's
-  thunk-runtime collective scheduling aborts the process intermittently
-  under that load (the sequential-runtime opt-out was removed upstream;
-  "xla_cpu_use_thunk_runtime is no longer supported").
+  tests for and costs ~2x wall time on the 1-core host. (It also used to
+  trip XLA:CPU's 40s collective-rendezvous hard abort when a device
+  thread was starved by a concurrent compile — now ALSO mitigated
+  globally by the raised rendezvous timeout in conftest.py; see
+  DESIGN.md 7c.)
 
 The ``vlp_finetune_*``/``vlp_linear_probe_*`` experiments declare
 ``pretrained_ckpt=REQUIRED:...`` (reference finetune yamls point at a VLP
