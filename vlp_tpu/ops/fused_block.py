@@ -72,23 +72,49 @@ def _transposed_mm() -> bool:
     return os.environ.get("VLP_MEGA_TRANSPOSED", "0") == "1"
 
 
+def _serial_heads() -> bool:
+    """Opt-out (VLP_MEGA_SERIAL=1): restore the r3 head-serial schedules.
+    The default STAGE-GROUPS the per-head phases (all QK^T matmuls, then
+    all softmaxes, then all PV matmuls) so Mosaic can overlap one head's
+    VPU softmax with another head's MXU matmul — measured on v5e at L3
+    shapes (mega_variants.py, dispatch-corrected): fwd 0.64 -> 0.53 ms,
+    bwd 1.80 -> 1.45 ms per block, outputs bitwise identical."""
+    import os
+
+    return os.environ.get("VLP_MEGA_SERIAL", "0") == "1"
+
+
 def _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype):
-    """Per-head softmax attention on packed [S, 3D] bf16; returns [S, D]."""
+    """Per-head softmax attention on packed [S, 3D] bf16; returns [S, D].
+    Stage-grouped across heads by default (see _serial_heads)."""
     d = num_heads * head_dim
-    outs = []
-    for h in range(num_heads):
+
+    def qk(h):
         lo = h * head_dim
         q = qkv[:, lo:lo + head_dim]
         k = qkv[:, d + lo:d + lo + head_dim]
-        v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        return jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    def softmax(s):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        return p, jnp.sum(p, axis=-1, keepdims=True)
+
+    def pv(p, l, h):
+        lo = h * head_dim
+        v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
         o = jnp.dot(p.astype(dtype), v,
                     preferred_element_type=jnp.float32) / l
-        outs.append(o.astype(dtype))
+        return o.astype(dtype)
+
+    if _serial_heads():
+        outs = [pv(*softmax(qk(h)), h) for h in range(num_heads)]
+    else:
+        ss = [qk(h) for h in range(num_heads)]
+        pls = [softmax(s) for s in ss]
+        outs = [pv(p, l, h) for h, (p, l) in enumerate(pls)]
     return jnp.concatenate(outs, axis=-1)  # [S, D]
 
 
@@ -237,16 +263,25 @@ def _attn_block_bwd_rows(x, dy, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                    preferred_element_type=jnp.float32)
            + bqkv_ref[...]).astype(dtype)
     dyb = dy.astype(dtype)
-    # TWO separate head passes (o for dWout, then dqkv), each with its
-    # own softmax recompute. A unified single-recompute loop holding
-    # o_h + dq/dk/dv lists live across heads measured 1.7% SLOWER on
-    # v5e (862 vs 878 img/s nest_small) — the longer VMEM live ranges
-    # cost more than the extra scores+exp pass saves.
+    # Round-4 schedule (default): ONE softmax recompute shared by the
+    # o(dWout) and dqkv derivations, with every per-head phase
+    # stage-grouped across heads so one head's VPU softmax/ds work can
+    # overlap another's MXU matmuls. Measured on v5e at L3 shapes
+    # (benchmarks/mega_variants.py): 1.80 -> 1.45 ms/block vs the r3
+    # head-serial TWO-pass variant, outputs bitwise identical. (The r3
+    # note — a head-serial unified loop measured 1.7% slower — still
+    # holds for the SERIAL schedule; stage-grouping is what flips the
+    # verdict. VLP_MEGA_SERIAL=1 restores the r3 two-pass schedule.)
     if transposed:
         ot = _attn_heads_fwd_t(qkv, num_heads, head_dim, scale, dtype)
         dwout_ref[...] += jax.lax.dot_general(
             ot, dyb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+    elif not _serial_heads():
+        return _attn_block_bwd_rows_unified(
+            x, dy, dyb, xh, inv, ln, qkv, g_ref, wqkv_ref, wout_ref,
+            dg_ref, db_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+            num_heads, head_dim, scale, dtype)
     else:
         o = _attn_heads_fwd(qkv, num_heads, head_dim, scale, dtype)
         dwout_ref[...] += jax.lax.dot_general(
@@ -277,6 +312,81 @@ def _attn_block_bwd_rows(x, dy, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         dln = jax.lax.dot_general(dqkvb, wqkv_ref[...],
                                   (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
+    dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
+    dxh = dln * g_ref[...]
+    return dy + _ln_bwd_dx(dxh, xh, inv)
+
+
+def _attn_block_bwd_rows_unified(x, dy, dyb, xh, inv, ln, qkv, g_ref,
+                                 wqkv_ref, wout_ref, dg_ref, db_ref,
+                                 dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+                                 num_heads, head_dim, scale, dtype):
+    """Default non-transposed backward body: single softmax recompute,
+    all per-head phases stage-grouped across heads (see the schedule
+    note in _attn_block_bwd_rows). Same math, bitwise-equal outputs."""
+    d = num_heads * head_dim
+
+    def qh(h):
+        return qkv[:, h * head_dim:(h + 1) * head_dim]
+
+    def kh(h):
+        return qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+
+    def vh(h):
+        return qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+
+    ss = [jax.lax.dot_general(qh(h), kh(h), (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * scale
+          for h in range(num_heads)]
+    pls = []
+    for s in ss:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        pls.append((p, jnp.sum(p, axis=-1, keepdims=True)))
+    # o via /l and dov via the bf16-rounded doh exactly as the serial
+    # _attn_heads_fwd/_attn_heads_bwd pair computes them
+    os_ = [(jnp.dot(p.astype(dtype), vh(h),
+                    preferred_element_type=jnp.float32) / l).astype(dtype)
+           for h, (p, l) in enumerate(pls)]
+    o = jnp.concatenate(os_, axis=-1)
+    dwout_ref[...] += jax.lax.dot_general(
+        o, dyb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbout_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    do = jax.lax.dot_general(dyb, wout_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dohs = [do[:, h * head_dim:(h + 1) * head_dim].astype(dtype)
+            for h in range(num_heads)]
+    dps = [jax.lax.dot_general(
+        dohs[h], vh(h), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) for h in range(num_heads)]
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        p, l = pls[h]
+        invl = 1.0 / l
+        dov = (dohs[h].astype(jnp.float32) * invl).astype(dtype)
+        pb = p.astype(dtype)
+        dvs.append(jax.lax.dot_general(
+            pb, dov, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        t = p * dps[h]
+        c = jnp.sum(t, axis=-1, keepdims=True) * invl
+        ds = (t - p * c) * invl
+        dsb = ds.astype(dtype)
+        dqs.append(jnp.dot(dsb, kh(h), preferred_element_type=jnp.float32)
+                   * scale)
+        dks.append(jax.lax.dot_general(
+            dsb, qh(h), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dqkvb = dqkv.astype(dtype)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        ln, dqkvb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dln = jax.lax.dot_general(dqkvb, wqkv_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
     dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
     db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
     dxh = dln * g_ref[...]
@@ -430,16 +540,34 @@ _lnattn.defvjp(_lnattn_fwd, _lnattn_bwd)
 # ==========================================================================
 
 def _lnmlp_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                      y_ref):
-    x = x_ref[...].astype(jnp.float32)
-    xh, _ = _ln_fwd(x)
-    ln = (xh * g_ref[...] + b_ref[...]).astype(x_ref.dtype)
-    z = jnp.dot(ln, w1_ref[...],
-                preferred_element_type=jnp.float32) + b1_ref[...]
-    h = _gelu(z).astype(x_ref.dtype)
-    y = jnp.dot(h, w2_ref[...],
-                preferred_element_type=jnp.float32) + b2_ref[...]
-    y_ref[...] = (x + y).astype(y_ref.dtype)
+                      y_ref, *, parts):
+    """parts > 1 (default 4): the row tile is processed as ``parts``
+    independent sub-tiles with each phase issued for all sub-tiles
+    back-to-back, so sub-tile j's VPU work (LN/GELU/residual) can overlap
+    sub-tile j+1's MXU matmuls. Measured on v5e at L3 shapes
+    (benchmarks/mega_variants.py, dispatch-corrected): 0.55 -> 0.44 ms
+    per block at tm=512/parts=4, output bitwise identical; the same
+    restructuring applied to the BACKWARD measured SLOWER (1.27 -> 1.63
+    ms, weight-grad accumulators inflate the live set), so only the
+    forward pipelines. VLP_MEGA_SERIAL=1 restores parts=1."""
+    tm = x_ref.shape[0]
+    sm = tm // parts
+    xs, lns, zs, hs, ys = ([None] * parts for _ in range(5))
+    for j in range(parts):
+        xs[j] = x_ref[j * sm:(j + 1) * sm, :].astype(jnp.float32)
+        xh, _ = _ln_fwd(xs[j])
+        lns[j] = (xh * g_ref[...] + b_ref[...]).astype(x_ref.dtype)
+    for j in range(parts):
+        zs[j] = jnp.dot(lns[j], w1_ref[...],
+                        preferred_element_type=jnp.float32) + b1_ref[...]
+        if j > 0:
+            hs[j - 1] = _gelu(zs[j - 1]).astype(x_ref.dtype)
+    hs[parts - 1] = _gelu(zs[parts - 1]).astype(x_ref.dtype)
+    for j in range(parts):
+        ys[j] = jnp.dot(hs[j], w2_ref[...],
+                        preferred_element_type=jnp.float32) + b2_ref[...]
+    for j in range(parts):
+        y_ref[j * sm:(j + 1) * sm, :] = (xs[j] + ys[j]).astype(y_ref.dtype)
 
 
 def _lnmlp_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, dout_ref,
@@ -494,6 +622,27 @@ def _mlp_tile(m: int, d: int, f: int, itemsize: int) -> int:
     return 0
 
 
+def _mlp_tile_fwd(m: int, d: int, f: int, itemsize: int) -> tuple[int, int]:
+    """(tile, parts) for the PIPELINED MLP forward. The forward holds no
+    weight-grad accumulators and fewer f-wide live columns per row, so it
+    affords a larger tile; parts=4 sub-tiles give the scheduler
+    independent VPU/MXU streams (see _lnmlp_fwd_kernel). Falls back to
+    the backward's tile serially when pipelining is off or nothing
+    divides."""
+    if _serial_heads():
+        return _mlp_tile(m, d, f, itemsize), 1
+    budget = 12 * 1024 * 1024
+    resident = 2 * d * f * itemsize
+    # per row: x f32 + ln bf16 + y f32 (d cols); z f32 + h bf16 (f cols);
+    # double-buffered x/y io blocks (2 * 2 * itemsize * d)
+    per_row = d * (8 + 2 * itemsize + 4 * itemsize) + f * (4 + itemsize)
+    for tm in (512, 256, 128, 64):
+        if m % tm == 0 and resident + tm * per_row <= budget:
+            parts = 4 if tm % 4 == 0 and tm // 4 >= 16 else 1
+            return tm, parts
+    return 0, 1
+
+
 def _row2(tm, d):
     return pl.BlockSpec((tm, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -506,13 +655,15 @@ def _lnmlp(x, gamma, beta, w1, b1, w2, b2, interpret: bool):
 def _lnmlp_fwd(x, gamma, beta, w1, b1, w2, b2, interpret):
     m, d = x.shape
     f = w1.shape[1]
-    tm = _mlp_tile(m, d, f, x.dtype.itemsize)
+    tm, parts = _mlp_tile_fwd(m, d, f, x.dtype.itemsize)
+    if tm == 0:
+        tm, parts = _mlp_tile(m, d, f, x.dtype.itemsize), 1
     if tm == 0:
         raise ValueError(
             f"ln_mlp unsupported for M={m}, D={d}, F={f} — guard calls "
             "with supports_mlp()")
     y = pl.pallas_call(
-        _lnmlp_fwd_kernel,
+        functools.partial(_lnmlp_fwd_kernel, parts=parts),
         grid=(m // tm,),
         in_specs=[_row2(tm, d), _const((1, d)), _const((1, d)),
                   _const((d, f)), _const((1, f)), _const((f, d)),
