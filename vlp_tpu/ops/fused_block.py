@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vlp_tpu.ops.fused_mlp import _gelu, _gelu_grad
+from vlp_tpu.ops.fused_mlp import _gelu, _gelu_and_grad, _gelu_grad
 
 _EPS = 1e-6
 
@@ -218,6 +218,73 @@ def _attn_heads_bwd(qkv, do, num_heads, head_dim, scale, dtype):
     return jnp.concatenate(dqs + dks + dvs, axis=-1)  # [S, 3D] f32
 
 
+def _softmax_heads(qkv, num_heads, head_dim, scale):
+    """Stage-grouped per-head scores + softmax on packed [S, 3D]:
+    all QK^T matmuls, then all softmaxes; returns [(p_f32, l_f32)]."""
+    d = num_heads * head_dim
+    ss = []
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = qkv[:, lo:lo + head_dim]
+        k = qkv[:, d + lo:d + lo + head_dim]
+        ss.append(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+    pls = []
+    for s in ss:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        pls.append((p, jnp.sum(p, axis=-1, keepdims=True)))
+    return pls
+
+
+def _heads_o(qkv, pls, num_heads, head_dim, dtype):
+    """PV per head from precomputed softmaxes -> [S, D] bf16."""
+    d = num_heads * head_dim
+    outs = []
+    for h, (p, l) in enumerate(pls):
+        v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+        o = jnp.dot(p.astype(dtype), v,
+                    preferred_element_type=jnp.float32) / l
+        outs.append(o.astype(dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _heads_dqkv(qkv, do, pls, num_heads, head_dim, scale, dtype):
+    """Per-head dq/dk/dv from precomputed softmaxes, stage-grouped;
+    do f32 [S, D] -> dqkv [S, 3D] f32. Matches _attn_heads_bwd's math
+    (bf16-rounded doh, inv_l folding) with the softmax reused."""
+    d = num_heads * head_dim
+    dohs = [do[:, h * head_dim:(h + 1) * head_dim].astype(dtype)
+            for h in range(num_heads)]
+    dps = [jax.lax.dot_general(
+        dohs[h], qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        for h in range(num_heads)]
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = qkv[:, lo:lo + head_dim]
+        k = qkv[:, d + lo:d + lo + head_dim]
+        p, l = pls[h]
+        invl = 1.0 / l
+        dov = (dohs[h].astype(jnp.float32) * invl).astype(dtype)
+        pb = p.astype(dtype)
+        dvs.append(jax.lax.dot_general(
+            pb, dov, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        t = p * dps[h]
+        c = jnp.sum(t, axis=-1, keepdims=True) * invl
+        ds = (t - p * c) * invl
+        dsb = ds.astype(dtype)
+        dqs.append(jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+                   * scale)
+        dks.append(jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+    return jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
 def _attn_out(qkv, wout, bout, num_heads, head_dim, scale, dtype,
               transposed):
     """MHSA + out-projection on packed qkv [S, 3D] -> [S, D] (pre-bias
@@ -236,6 +303,13 @@ def _attn_out(qkv, wout, bout, num_heads, head_dim, scale, dtype,
 def _lnattn_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                        bout_ref, y_ref, *, num_heads, head_dim, scale,
                        transposed):
+    # NOTE (round-4 negative result): a group-batched variant running
+    # LN/QKV/out-proj ONCE over the whole [g*S, D] sample group (only the
+    # head cores per sample) measured NEUTRAL-to-SLOWER (L1 fwd 2.92 ->
+    # 3.24 ms, L2 bwd 3.14 -> 3.75 ms; L3 has g=1) — the small-d levels
+    # are VPU-bound on softmax work, not projection-instruction-bound, so
+    # batching the matmuls bought nothing and the bigger live set hurt.
+    # The per-sample loop stays.
     dtype = x_ref.dtype
     for i in range(x_ref.shape[0]):
         x = x_ref[i].astype(jnp.float32)            # [S, D]
@@ -325,61 +399,17 @@ def _attn_block_bwd_rows_unified(x, dy, dyb, xh, inv, ln, qkv, g_ref,
     """Default non-transposed backward body: single softmax recompute,
     all per-head phases stage-grouped across heads (see the schedule
     note in _attn_block_bwd_rows). Same math, bitwise-equal outputs."""
-    d = num_heads * head_dim
-
-    def qh(h):
-        return qkv[:, h * head_dim:(h + 1) * head_dim]
-
-    def kh(h):
-        return qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
-
-    def vh(h):
-        return qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-
-    ss = [jax.lax.dot_general(qh(h), kh(h), (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32) * scale
-          for h in range(num_heads)]
-    pls = []
-    for s in ss:
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        pls.append((p, jnp.sum(p, axis=-1, keepdims=True)))
+    pls = _softmax_heads(qkv, num_heads, head_dim, scale)
     # o via /l and dov via the bf16-rounded doh exactly as the serial
     # _attn_heads_fwd/_attn_heads_bwd pair computes them
-    os_ = [(jnp.dot(p.astype(dtype), vh(h),
-                    preferred_element_type=jnp.float32) / l).astype(dtype)
-           for h, (p, l) in enumerate(pls)]
-    o = jnp.concatenate(os_, axis=-1)
+    o = _heads_o(qkv, pls, num_heads, head_dim, dtype)
     dwout_ref[...] += jax.lax.dot_general(
         o, dyb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dbout_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
     do = jax.lax.dot_general(dyb, wout_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dohs = [do[:, h * head_dim:(h + 1) * head_dim].astype(dtype)
-            for h in range(num_heads)]
-    dps = [jax.lax.dot_general(
-        dohs[h], vh(h), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) for h in range(num_heads)]
-    dqs, dks, dvs = [], [], []
-    for h in range(num_heads):
-        p, l = pls[h]
-        invl = 1.0 / l
-        dov = (dohs[h].astype(jnp.float32) * invl).astype(dtype)
-        pb = p.astype(dtype)
-        dvs.append(jax.lax.dot_general(
-            pb, dov, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        t = p * dps[h]
-        c = jnp.sum(t, axis=-1, keepdims=True) * invl
-        ds = (t - p * c) * invl
-        dsb = ds.astype(dtype)
-        dqs.append(jnp.dot(dsb, kh(h), preferred_element_type=jnp.float32)
-                   * scale)
-        dks.append(jax.lax.dot_general(
-            dsb, qh(h), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale)
-    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dqkv = _heads_dqkv(qkv, do, pls, num_heads, head_dim, scale, dtype)
     dqkvb = dqkv.astype(dtype)
     dwqkv_ref[...] += jax.lax.dot_general(
         ln, dqkvb, (((0,), (0,)), ((), ())),
@@ -407,6 +437,8 @@ def _lnattn_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         dwout_ref[...] = jnp.zeros_like(dwout_ref)
         dbout_ref[...] = jnp.zeros_like(dbout_ref)
 
+    # (Same round-4 negative result as the forward: the group-batched
+    # body measured neutral-to-slower; per-sample loop stays.)
     dtype = x_ref.dtype
     for i in range(x_ref.shape[0]):
         x = x_ref[i].astype(jnp.float32)
@@ -421,18 +453,20 @@ def _attn_group(n: int, s: int, d: int, heads: int, itemsize: int) -> int:
     """Samples per grid program for the attention half-block backward.
 
     Only the x/dout/dx row blocks are double-buffered by the pipeline; the
-    per-sample scratch (LN fp32 copies, qkv, one head's scores, dqkv) is
-    single-instanced, and the unrolled g/head loops reuse it. Larger
-    groups COMPILE fine up to ~13 MB but measured no faster (the kernels
-    are MXU/VPU-bound, not program-overhead-bound — v5e sweep: g=8/4/2 at
-    857 img/s vs g=4/2/1 at 878 on nest_small); the default budget keeps
-    the measured-best grouping."""
+    per-sample scratch (LN fp32 copies, qkv, dqkv f32, and — under the
+    round-4 group-batched schedule — the per-head softmaxes held between
+    the o and dqkv phases) scales with g. Larger groups COMPILE fine up
+    to ~13 MB but measured no faster both before stage-grouping (v5e
+    sweep: g=8/4/2 at 857 img/s vs g=4/2/1 at 878 on nest_small) and
+    after (VLP_MEGA_ATTN_MB=13 re-measured L1 bwd 8.18 vs 7.70 ms); the
+    budget keeps the measured-best grouping (L1/L2/L3 -> 4/2/1)."""
     import os
 
-    budget = int(float(os.environ.get("VLP_MEGA_ATTN_MB", "7")) * 2 ** 20)
+    budget = int(float(os.environ.get("VLP_MEGA_ATTN_MB", "11")) * 2 ** 20)
     weights = 4 * d * d * itemsize + 4 * d * d * 4  # wqkv+wout (+f32 accum)
     blocks = 2 * 3 * s * d * itemsize               # x/dout/dx, dbl-buffered
-    scratch = s * d * (2 * 4 + 5 * itemsize + 3 * 4) + 2 * s * s * 4
+    scratch = (s * d * (2 * 4 + 5 * itemsize + 3 * 4 + 3 * 4)
+               + (heads + 2) * s * s * 4)
     for g in (16, 8, 4, 2, 1):
         if n % g == 0 and weights + g * (blocks + scratch) <= budget:
             return g
@@ -588,7 +622,8 @@ def _lnmlp_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, dout_ref,
     ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
     z = jnp.dot(ln, w1_ref[...],
                 preferred_element_type=jnp.float32) + b1_ref[...]
-    h = _gelu(z).astype(dtype)
+    h32, dgelu = _gelu_and_grad(z)
+    h = h32.astype(dtype)
     dy = dout_ref[...].astype(jnp.float32)
     dyb = dy.astype(dtype)
     dw2_ref[...] += jax.lax.dot_general(
@@ -596,7 +631,7 @@ def _lnmlp_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, dout_ref,
     db2_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
     dh32 = jax.lax.dot_general(
         dyb, w2_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * _gelu_grad(z)
+        preferred_element_type=jnp.float32) * dgelu
     dh = dh32.astype(dtype)
     dw1_ref[...] += jax.lax.dot_general(
         ln, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)

@@ -56,6 +56,17 @@ def _gelu_grad(z):
     return cdf + z * phi
 
 
+def _gelu_and_grad(z):
+    """(gelu(z), gelu'(z)) sharing one erf evaluation. Measured NEUTRAL
+    on v5e (Mosaic already CSEs the duplicated _erf(z * c) between _gelu
+    and _gelu_grad on the same z); kept because it states the sharing
+    explicitly instead of relying on CSE. Same math as _gelu/_gelu_grad
+    (association differs by <=1 ulp in fp32)."""
+    cdf = 0.5 * (1.0 + _erf(z * _INV_SQRT2))
+    phi = jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI
+    return z * cdf, cdf + z * phi
+
+
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     z = jnp.dot(x_ref[...], w1_ref[...],
                 preferred_element_type=jnp.float32) + b1_ref[...]
@@ -78,11 +89,12 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
     do = do_ref[...]
     z = jnp.dot(x, w1_ref[...],
                 preferred_element_type=jnp.float32) + b1_ref[...]
-    h = _gelu(z).astype(x.dtype)
+    h32, dgelu = _gelu_and_grad(z)
+    h = h32.astype(x.dtype)
     # dh = (dO W2^T) * gelu'(z)
     dh32 = jax.lax.dot_general(
         do, w2_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * _gelu_grad(z)
+        preferred_element_type=jnp.float32) * dgelu
     dh = dh32.astype(x.dtype)
     dx = jax.lax.dot_general(
         dh, w1_ref[...], (((1,), (1,)), ((), ())),
