@@ -230,3 +230,45 @@ class TestTransposedVariant:
         monkeypatch.setenv("VLP_MEGA_TRANSPOSED", "1")
         TestWindowedNHWC().test_windowed_matches_blockified(monkeypatch)
 
+
+
+class TestSerialScheduleVariant:
+    """VLP_MEGA_SERIAL=1 (opt-out; restores the r3 head-serial schedules —
+    DESIGN.md §7b round-4 follow-up). The default stage-grouped schedules
+    reorder instructions but not math: (a) the serial path still passes
+    the strongest parity checks, and (b) default vs serial agree on
+    forward values and every gradient to fp32 working precision."""
+
+    def test_serial_parity_vs_plain_path(self, monkeypatch):
+        monkeypatch.setenv("VLP_MEGA_SERIAL", "1")
+        TestMegaBlockParity().test_forward_and_grads_match_plain_path(
+            monkeypatch)
+
+    def test_default_equals_serial_values_and_grads(self, monkeypatch):
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        x = _x(seed=7)
+        blk = _blocks(mega=True)
+        monkeypatch.setenv("VLP_MEGA_SERIAL", "1")
+        params = blk.init(jax.random.key(0), x)
+
+        def loss(p, x):
+            return jnp.sum(jnp.sin(blk.apply(p, x)))
+
+        out_s = blk.apply(params, x)
+        gp_s, gx_s = jax.grad(loss, (0, 1))(params, x)
+        monkeypatch.delenv("VLP_MEGA_SERIAL")
+        out_d = blk.apply(params, x)
+        gp_d, gx_d = jax.grad(loss, (0, 1))(params, x)
+        # fp32-ulp tolerance: the two schedules are op-identical, but the
+        # interpreter's surrounding XLA:CPU program fuses reductions
+        # differently for the two instruction orders (on the TPU the lab
+        # measured the backward outputs bitwise identical)
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx_d), np.asarray(gx_s),
+                                   atol=5e-5)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(gp_d),
+                jax.tree_util.tree_leaves_with_path(gp_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, err_msg=str(ka))
