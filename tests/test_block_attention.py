@@ -122,3 +122,37 @@ class TestFallbacks:
         np.testing.assert_allclose(
             np.asarray(blk_f.apply(pf, x)),
             np.asarray(blk_u.apply({"params": pu}, x)), atol=1e-5)
+
+
+class TestGroupedScheduleVariant:
+    """VLP_BLOCKATTN_GROUPED=1 opt-in (DESIGN.md §7b round-4 follow-up:
+    the megakernels' stage-grouped schedule applied to block_attention —
+    measured NEUTRAL at ViT-B and Mosaic-compile-fatal at ViT-L, so the
+    SERIAL schedule stays the default; see _grouped_heads). The grouped
+    variant must still pass the strongest parity checks, and default vs
+    grouped must agree on forward values and all input gradients."""
+
+    def test_grouped_parity_vs_flax(self, monkeypatch):
+        monkeypatch.setenv("VLP_BLOCKATTN_GROUPED", "1")
+        TestFusedAttentionParity().test_gradients_match_flax(monkeypatch)
+
+    def test_default_equals_grouped_values_and_grads(self, monkeypatch):
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        q, k, v = _qkv(n=2, s=16, h=4, dh=8, seed=9)
+
+        def loss(q, k, v):
+            return jnp.sum(ba.fused_attention_fn(q, k, v) * jnp.cos(q))
+
+        monkeypatch.setenv("VLP_BLOCKATTN_GROUPED", "1")
+        out_s = ba.fused_attention_fn(q, k, v)
+        g_s = jax.grad(loss, (0, 1, 2))(q, k, v)
+        monkeypatch.delenv("VLP_BLOCKATTN_GROUPED")
+        out_d = ba.fused_attention_fn(q, k, v)
+        g_d = jax.grad(loss, (0, 1, 2))(q, k, v)
+        # fp32-ulp tolerance: op-identical schedules, different XLA:CPU
+        # reduction fusions under the interpreter (see test_fused_block)
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                                   atol=2e-5)
+        for a, b in zip(g_d, g_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)

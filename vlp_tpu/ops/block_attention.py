@@ -42,31 +42,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _grouped_heads() -> bool:
+    """Round-4 finding: the stage-grouped schedule that won -17%/-20% in
+    the ln_attention megakernel is NOT the right default here. Measured on
+    v5e: (a) at this kernel's main shape (ViT-B, S=197, H=12, Dh=64) the
+    end-to-end train step is NEUTRAL (1167 vs 1169 img/s, within noise) —
+    Dh=64 heads are MXU-dominant enough that Mosaic already overlaps the
+    serial stream's independent work; (b) at ViT-L (H=16, D=1024) the
+    grouped kernel's simultaneous per-head live set DETERMINISTICALLY
+    crashes the Mosaic/AOT compile for sample groups with batch >= 48
+    (subprocess abort, reproduced at B=48/64 vs clean at B=32; the serial
+    schedule compiles and runs at B=128). Serial stays the default;
+    VLP_BLOCKATTN_GROUPED=1 opts in (VLP_MEGA_SERIAL=1 still wins)."""
+    from vlp_tpu.ops.fused_block import _serial_heads
+
+    return (os.environ.get("VLP_BLOCKATTN_GROUPED", "0") == "1"
+            and not _serial_heads())
+
+
 def _fwd_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int,
                 scale: float):
+    from vlp_tpu.ops.fused_block import _heads_o, _softmax_heads
+
     d = num_heads * head_dim
+    if not _grouped_heads():
+        for g in range(qkv_ref.shape[0]):
+            for h in range(num_heads):
+                lo = h * head_dim
+                q = qkv_ref[g, :, lo:lo + head_dim]  # [S, Dh] bf16
+                k = qkv_ref[g, :, d + lo:d + lo + head_dim]
+                v = qkv_ref[g, :, 2 * d + lo:2 * d + lo + head_dim]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # [S,S] f32
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)  # unnormalized probs
+                l = jnp.sum(p, axis=-1, keepdims=True)  # [S, 1]
+                # normalization deferred to the [S, Dh] output: saves a
+                # full VPU divide pass over the [S, S] matrix
+                o = jnp.dot(p.astype(q.dtype), v,
+                            preferred_element_type=jnp.float32) / l
+                o_ref[g, :, lo:lo + head_dim] = o.astype(o_ref.dtype)
+        return
+    # stage-grouped opt-in (the helpers reproduce the serial loop's math
+    # op for op; see _grouped_heads for why this is not the default)
     for g in range(qkv_ref.shape[0]):
-        for h in range(num_heads):
-            lo = h * head_dim
-            q = qkv_ref[g, :, lo:lo + head_dim]  # [S, Dh] bf16
-            k = qkv_ref[g, :, d + lo:d + lo + head_dim]
-            v = qkv_ref[g, :, 2 * d + lo:2 * d + lo + head_dim]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # [S, S] f32
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)  # unnormalized probs
-            l = jnp.sum(p, axis=-1, keepdims=True)  # [S, 1]
-            # normalization deferred to the [S, Dh] output: saves a full
-            # VPU divide pass over the [S, S] matrix
-            o = jnp.dot(p.astype(q.dtype), v,
-                        preferred_element_type=jnp.float32) / l
-            o_ref[g, :, lo:lo + head_dim] = o.astype(o_ref.dtype)
+        qkv = qkv_ref[g]
+        pls = _softmax_heads(qkv, num_heads, head_dim, scale)
+        o_ref[g] = _heads_o(qkv, pls, num_heads, head_dim, qkv.dtype
+                            ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int, head_dim: int,
                 scale: float):
+    from vlp_tpu.ops.fused_block import _heads_dqkv, _softmax_heads
+
     d = num_heads * head_dim
+    if _grouped_heads():
+        for g in range(qkv_ref.shape[0]):
+            qkv = qkv_ref[g]
+            pls = _softmax_heads(qkv, num_heads, head_dim, scale)
+            dqkv_ref[g] = _heads_dqkv(
+                qkv, do_ref[g].astype(jnp.float32), pls, num_heads,
+                head_dim, scale, qkv.dtype).astype(dqkv_ref.dtype)
+        return
     for g in range(qkv_ref.shape[0]):
         for h in range(num_heads):
             lo = h * head_dim

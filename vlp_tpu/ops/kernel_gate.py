@@ -67,6 +67,8 @@ def kernel_dispatch_key() -> Tuple:
             os.environ.get("VLP_DISABLE_PALLAS", "0"),
             os.environ.get("VLP_PALLAS_INTERPRET", "0"),
             os.environ.get("VLP_MEGA_TRANSPOSED", "0"),
+            os.environ.get("VLP_MEGA_SERIAL", "0"),
+            os.environ.get("VLP_BLOCKATTN_GROUPED", "0"),
             None if mesh is None else (mesh, axis))
 
 
