@@ -199,3 +199,78 @@ class TestS2DStem:
 
         grads = jax.grad(loss)(v["params"])
         assert sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)) > 0
+
+
+class TestRemat:
+    """model.remat wraps each encoder block in jax.checkpoint (vit.py):
+    values AND gradients must equal the plain path exactly — remat changes
+    residual storage, not math. Covers the Pallas-kernel interaction via
+    the interpreter (custom-VJP kernels inside a checkpointed block)."""
+
+    def _vit(self, remat, img_size=56, fused=None):
+        kw = dict(patch_size=8, hidden_dim=32, depth=2, num_heads=4,
+                  num_classes=2, dtype=jnp.float32, img_size=img_size,
+                  remat=remat)
+        if fused is not None:
+            kw["fused_attention"] = fused
+        return ViT(**kw)
+
+    def test_vit_values_and_grads_match(self):
+        x = jax.random.normal(jax.random.key(1), (2, 56, 56, 3))
+        y = jnp.asarray([0.0, 1.0])
+        m0, m1 = self._vit(False), self._vit(True)
+        p = m0.init(jax.random.key(0), x, train=False)
+
+        def loss(m):
+            def f(p, x):
+                out = m.apply(p, x, train=False)
+                return jnp.mean((out.sum(-1) - y) ** 2)
+            return f
+
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(p, x, train=False)),
+            np.asarray(m0.apply(p, x, train=False)), atol=1e-6)
+        g0 = jax.grad(loss(m0))(p, x)
+        g1 = jax.grad(loss(m1))(p, x)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g0),
+                jax.tree_util.tree_leaves_with_path(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-6, err_msg=str(ka))
+
+    def test_vit_remat_with_pallas_interpret(self, monkeypatch):
+        monkeypatch.setenv("VLP_PALLAS_INTERPRET", "1")
+        x = jax.random.normal(jax.random.key(2), (2, 56, 56, 3))
+        m = self._vit(True, fused=True)
+        p = m.init(jax.random.key(0), x, train=False)
+
+        def f(p, x):
+            return jnp.mean(m.apply(p, x, train=False) ** 2)
+
+        g = jax.grad(f)(p, x)
+        gsum = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+        assert np.isfinite(gsum) and gsum > 0
+
+    def test_nest_remat_values_and_grads_match(self):
+        from vlp_tpu.models.nest import NesT
+
+        x = jax.random.normal(jax.random.key(3), (1, 32, 32, 3))
+        kw = dict(img_size=32, patch_size=4, embed_dims=(8, 16),
+                  num_heads=(2, 2), depths=(1, 1), block_size=4,
+                  num_classes=2, dtype=jnp.float32)
+        m0 = NesT(remat=False, **kw)
+        m1 = NesT(remat=True, **kw)
+        p = m0.init(jax.random.key(0), x, train=False)
+
+        def f(m):
+            return lambda p, x: jnp.mean(m.apply(p, x, train=False) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(p, x, train=False)),
+            np.asarray(m0.apply(p, x, train=False)), atol=1e-6)
+        g0, g1 = jax.grad(f(m0))(p, x), jax.grad(f(m1))(p, x)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g0),
+                jax.tree_util.tree_leaves_with_path(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-6, err_msg=str(ka))

@@ -58,6 +58,11 @@ class ModelConfig:
     # LN+attention+residual / LN+MLP+residual fused per program. Param-tree
     # compatible with the fused path; per-shape fallback when unsupported.
     megakernel: bool = True
+    # Per-block rematerialization (jax.checkpoint) for ViT/NesT: saves only
+    # block inputs as backward residuals, recomputing each block's forward
+    # on-chip — O(depth) less activation HBM for ~1/3 more FLOPs. Required
+    # for ViT-L train at batch >= 64 on one 16 GB v5e chip.
+    remat: bool = False
     pretrained_ckpt: Optional[str] = None  # VLP checkpoint warm-start path
     freeze_encoder: bool = False
     vision_encoder_lr: Optional[float] = None  # split-LR param group

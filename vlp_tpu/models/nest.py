@@ -79,6 +79,9 @@ class NesT(nn.Module):
     # blockify/unblockify transposes they remove), so OFF by default;
     # kept as a tested variant for future Mosaic layout improvements.
     nhwc_windows: bool = False
+    # Per-block jax.checkpoint (see vit.ViT.remat): off by default —
+    # NesT-S easily fits; the knob exists for larger variants/batches.
+    remat: bool = False
 
     def setup(self):
         self.patch_embed = nn.Conv(
@@ -96,12 +99,14 @@ class NesT(nn.Module):
             pos_embeds.append(self.param(
                 f"pos_embed_{li}", nn.initializers.normal(0.02),
                 (1, nb, self.block_size**2, dim), jnp.float32))
+            block_cls = nn.remat(EncoderBlock, prevent_cse=False) \
+                if self.remat else EncoderBlock
             levels.append([
-                EncoderBlock(heads, 4.0, self.dtype,
-                             fused_attention=self.fused_attention,
-                             megakernel=self.megakernel,
-                             window=self.block_size,
-                             name=f"l{li}_block{d}")
+                block_cls(heads, 4.0, self.dtype,
+                          fused_attention=self.fused_attention,
+                          megakernel=self.megakernel,
+                          window=self.block_size,
+                          name=f"l{li}_block{d}")
                 for d in range(depth)])
             if li < len(self.embed_dims) - 1:
                 pools.append(ConvPool(self.embed_dims[li + 1], self.dtype,

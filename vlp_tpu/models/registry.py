@@ -26,7 +26,8 @@ def create_backbone(name: str, num_classes: int = 0,
                     norm_dtype: jnp.dtype = jnp.float32,
                     stem: str = "conv7",
                     fused_attention: Optional[bool] = None,
-                    megakernel: bool = True):
+                    megakernel: bool = True,
+                    remat: bool = False):
     """Returns (module, feature_dim). ``num_classes=0`` => features only.
 
     ``fused_attention``: Pallas fused block-attention for ViT/NesT
@@ -42,6 +43,7 @@ def create_backbone(name: str, num_classes: int = 0,
         kw["stem"] = stem
     else:
         kw["megakernel"] = megakernel
+        kw["remat"] = remat
         if fused_attention is not None:
             kw["fused_attention"] = fused_attention
     if name == "resnet18":

@@ -45,13 +45,14 @@ class OnlyImagingModel(nn.Module):
     stem: str = "conv7"
     fused_attention: Optional[bool] = None  # ViT/NesT Pallas attention
     megakernel: bool = True  # half-block megakernels (fused_block.py)
+    remat: bool = False  # per-block jax.checkpoint (vit.ViT.remat)
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
             axis_name=self.axis_name, norm_dtype=self.norm_dtype,
             stem=self.stem, fused_attention=self.fused_attention,
-            megakernel=self.megakernel)
+            megakernel=self.megakernel, remat=self.remat)
         self.head = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                              name="head")
 
@@ -71,13 +72,14 @@ class FusionModel(nn.Module):
     stem: str = "conv7"
     fused_attention: Optional[bool] = None  # ViT/NesT Pallas attention
     megakernel: bool = True  # half-block megakernels (fused_block.py)
+    remat: bool = False  # per-block jax.checkpoint (vit.ViT.remat)
 
     def setup(self):
         self.backbone, self.feature_dim = create_backbone(
             self.backbone_name, num_classes=0, dtype=self.dtype,
             axis_name=self.axis_name, norm_dtype=self.norm_dtype,
             stem=self.stem, fused_attention=self.fused_attention,
-            megakernel=self.megakernel)
+            megakernel=self.megakernel, remat=self.remat)
         self.image_head = nn.Dense(10, dtype=jnp.float32,
                                    param_dtype=jnp.float32, name="image_head")
         self.clinical_mlp = ClinicalMLP(name="clinical_mlp")
@@ -150,7 +152,8 @@ class OnlyImagingTask(BaseTask):
                                       axis_name=axis_name,
                                       stem=cfg.model.stem,
                                       fused_attention=cfg.model.fused_attention,
-                                      megakernel=cfg.model.megakernel)
+                                      megakernel=cfg.model.megakernel,
+                                      remat=cfg.model.remat)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -217,7 +220,8 @@ class FusionTask(BaseTask):
                                  dtype=self.dtype, norm_dtype=norm_dtype,
                                  axis_name=axis_name, stem=cfg.model.stem,
                                  fused_attention=cfg.model.fused_attention,
-                                      megakernel=cfg.model.megakernel)
+                                 megakernel=cfg.model.megakernel,
+                                 remat=cfg.model.remat)
         self.coral_lambda = float(cfg.model.coral_lambda)
         self.statics = statics
 
@@ -293,7 +297,7 @@ class VisionLanguageTask(BaseTask):
             dtype=self.dtype, norm_dtype=norm_dtype, axis_name=axis_name,
             stem=cfg.model.stem,
             fused_attention=cfg.model.fused_attention,
-                                      megakernel=cfg.model.megakernel)
+            megakernel=cfg.model.megakernel, remat=cfg.model.remat)
         self.scale_max = float(cfg.model.logit_scale_max)
         self.loss_variant = cfg.model.loss_variant
         self.statics = statics

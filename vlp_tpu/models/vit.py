@@ -257,6 +257,14 @@ class ViT(nn.Module):
     axis_name: Optional[str] = None  # unused (no BN); kept for API parity
     fused_attention: bool = True  # Pallas fused attention (block_attention.py)
     megakernel: bool = True  # half-block megakernels (fused_block.py)
+    # Per-block rematerialization (jax.checkpoint): only block INPUTS are
+    # saved as backward residuals; each block's forward is recomputed
+    # on-chip during the backward. Trades ~1/3 more FLOPs for O(depth)
+    # less activation HBM — REQUIRED for ViT-L train at batch >= 64 on a
+    # 16 GB v5e chip (without it the AOT compile aborts; with it batch 128
+    # fits). Composes with the Pallas custom-VJP kernels (they recompute
+    # within the block either way). Value/grad parity: tests/test_vit.py.
+    remat: bool = False
 
     def setup(self):
         self.patch_embed = nn.Conv(
@@ -271,11 +279,15 @@ class ViT(nn.Module):
             "pos_embed", nn.initializers.normal(0.02),
             (1, (self.img_size // self.patch_size) ** 2 + 1, self.hidden_dim),
             jnp.float32)
+        # prevent_cse=False: safe under jit/scan (flax docs) and lets XLA
+        # CSE within the recomputed forward
+        block_cls = nn.remat(EncoderBlock, prevent_cse=False) \
+            if self.remat else EncoderBlock
         self.encoder_blocks = [
-            EncoderBlock(self.num_heads, self.mlp_ratio, self.dtype,
-                         fused_attention=self.fused_attention,
-                         megakernel=self.megakernel,
-                         name=f"block{i}") for i in range(self.depth)]
+            block_cls(self.num_heads, self.mlp_ratio, self.dtype,
+                      fused_attention=self.fused_attention,
+                      megakernel=self.megakernel,
+                      name=f"block{i}") for i in range(self.depth)]
         self.final_ln = nn.LayerNorm(dtype=jnp.float32, name="final_ln")
         if self.num_classes > 0:
             self.head = nn.Dense(self.num_classes, dtype=jnp.float32,

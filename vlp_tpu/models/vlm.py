@@ -34,6 +34,7 @@ class VisionLanguageModel(nn.Module):
     stem: str = "conv7"
     fused_attention: Optional[bool] = None  # ViT/NesT Pallas attention
     megakernel: bool = True  # half-block megakernels (fused_block.py)
+    remat: bool = False  # per-block jax.checkpoint (vit.ViT.remat)
 
     def setup(self):
         self.image_encoder, self.image_dim = create_backbone(
@@ -41,7 +42,7 @@ class VisionLanguageModel(nn.Module):
             axis_name=self.axis_name, dropout_rate=self.image_dropout,
             norm_dtype=self.norm_dtype, stem=self.stem,
             fused_attention=self.fused_attention,
-            megakernel=self.megakernel)
+            megakernel=self.megakernel, remat=self.remat)
         text_cfg = TEXT_CONFIGS[self.text_model]
         self.text_encoder = BertEncoder(text_cfg, dtype=self.dtype,
                                         name="text_encoder")
