@@ -685,6 +685,8 @@ def main() -> None:
                                              parts=2),
             "mlp_bwd rowpipe4": make_mlp_bwd(mlp_bwd_kernel_rowpipe,
                                              parts=4),
+            "mlp_bwd v0 tm256": make_mlp_bwd(mlp_bwd_kernel_v0, tm=256),
+            "mlp_bwd v0 tm64": make_mlp_bwd(mlp_bwd_kernel_v0, tm=64),
         }.items():
             t = timed(lambda xx: fn(xx, gamma, beta, w1, b1, w2, dout)[0], x)
             outs = [np.asarray(a, jnp.float32) for a in

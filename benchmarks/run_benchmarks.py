@@ -49,6 +49,10 @@ BACKBONE_ENTRIES = {
     "backbone_vit_base_unfused": {
         "task": "only_imaging", "model": "vit_base_patch16_224",
         "fused_attention": False},
+    # ViT-L train at batch 128 only fits the 16 GB chip with per-block
+    # remat (model.remat; without it the AOT compile aborts at B >= 48)
+    "backbone_vit_large": {"task": "only_imaging",
+                           "model": "vit_large_patch16_224", "remat": True},
     "backbone_resnet50": {"task": "only_imaging", "model": "resnet50"},
 }
 
@@ -251,9 +255,16 @@ def main() -> None:
         print(f"{name}: {ips:.0f} img/s ({min(ts)/K*1e3:.1f} ms/step{extra})",
               flush=True)
 
+    def selected(name):
+        """BENCH_FILTER=sub1,sub2 restricts entries by substring — lets a
+        single new/changed entry re-measure without redoing the suite."""
+        flt = os.environ.get("BENCH_FILTER", "")
+        return not flt or any(s and s in name for s in flt.split(","))
+
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         for name, task_cfg in TRAIN_ENTRIES.items():
-            measure_train(name, task_cfg)
+            if selected(name):
+                measure_train(name, task_cfg)
         checkpoint_results()
 
     # img/s-vs-batch curve for the headline VLP step (VERDICT r3 #7): the
@@ -277,8 +288,14 @@ def main() -> None:
     # nest is recorded with and without the Pallas fused block-attention
     if os.environ.get("BENCH_BACKBONES", "1") == "1":
         for name, task_cfg in BACKBONE_ENTRIES.items():
-            measure_train(name, task_cfg)
-        checkpoint_results()
+            if not selected(name):
+                continue
+            try:
+                measure_train(name, task_cfg)
+            except Exception as e:  # e.g. OOM on the largest backbone
+                results[name] = {"error": str(e)[:300]}
+                print(f"{name}: FAILED ({str(e)[:120]})", flush=True)
+            checkpoint_results()
 
     if os.environ.get("BENCH_INFER", "1") == "1":
         # inference
