@@ -73,7 +73,11 @@ def mfu_convention(peak_tflops: float) -> str:
         "accounting), from jax 0.9 the COMPILED module's count (lowered "
         "analysis was removed; agrees with analytic within a few %% on "
         "these models) — regression tracking only, convention shifted "
-        "with the jax upgrade. Peak = %g TFLOP/s bf16." % peak_tflops)
+        "with the jax upgrade. Entries with model.remat=True (ViT-L) "
+        "EXECUTE ~4x-fwd FLOPs (per-block recompute) but are still "
+        "quoted at the useful 3x-fwd convention — their analytic_mfu "
+        "understates hardware utilization by ~25%%. "
+        "Peak = %g TFLOP/s bf16." % peak_tflops)
 
 
 def main() -> None:
