@@ -46,8 +46,19 @@ os.environ["XLA_FLAGS"] = flags.strip()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Serialize program execution on the CPU mesh: with async dispatch two
+# in-flight programs can interleave their all-reduces across the 8 device
+# threads and deadlock the rendezvous (observed hang: 7/8 threads arrive,
+# 0% CPU forever despite the raised terminate timeout). On a 1-core host
+# synchronous dispatch costs nothing and removes the race class entirely.
+try:
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
+except AttributeError:  # older jaxlib without the flag
+    pass
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # runnable without an editable install
+    sys.path.insert(0, REPO)
 
 # persistent compile cache: folds/rows share programs (1-core host)
 from vlp_tpu.utils.cache import host_scoped_cache_dir  # noqa: E402
@@ -132,16 +143,26 @@ def main(argv=None) -> int:
 
     # 1) VLP pretrain at smoke scale -> warm-start checkpoint for the
     #    finetune/linear-probe rows (their pretrained_ckpt is REQUIRED:).
+    # A completed phase (checkpoint / test_eval.csv already in run_dir) is
+    # SKIPPED on re-invocation, so an interrupted rehearsal resumes at the
+    # first unfinished row instead of redoing ~2h of 1-core work.
     pre_dir = os.path.join(args.out, "vlp_pretrain")
-    print(f"[rehearsal] pretraining {PRETRAIN_EXPERIMENT} -> {pre_dir}",
-          flush=True)
-    cfg = smoke_scale(get_experiment(PRETRAIN_EXPERIMENT), pre_dir,
-                      args.image_size, 64, args.epochs)
-    cfg.k_fold_cross_validation = False  # one pretrain fold is enough
-    train(cfg)
     ckpts = sorted(d for d in glob.glob(
         os.path.join(pre_dir, "checkpoints", "fold0", "epoch*"))
         if os.path.isdir(d))
+    if ckpts:
+        print(f"[rehearsal] reusing completed pretrain in {pre_dir}",
+              flush=True)
+    else:
+        print(f"[rehearsal] pretraining {PRETRAIN_EXPERIMENT} -> {pre_dir}",
+              flush=True)
+        cfg = smoke_scale(get_experiment(PRETRAIN_EXPERIMENT), pre_dir,
+                          args.image_size, 64, args.epochs)
+        cfg.k_fold_cross_validation = False  # one pretrain fold is enough
+        train(cfg)
+        ckpts = sorted(d for d in glob.glob(
+            os.path.join(pre_dir, "checkpoints", "fold0", "epoch*"))
+            if os.path.isdir(d))
     assert ckpts, "VLP pretrain produced no checkpoint"
     vlp_ckpt = ckpts[-1]
     print(f"[rehearsal] VLP warm-start checkpoint: {vlp_ckpt}", flush=True)
@@ -150,6 +171,12 @@ def main(argv=None) -> int:
     spec_rows = []
     for section, label, model, name in MATRIX:
         run_dir = os.path.join(args.out, name)
+        if os.path.exists(os.path.join(run_dir, "test_eval.csv")):
+            print(f"[rehearsal] {name}: reusing completed row in {run_dir}",
+                  flush=True)
+            spec_rows.append({"section": section, "experiment": label,
+                              "model": model, "run_dir": run_dir})
+            continue
         is_nest = "nest" in name
         cfg = smoke_scale(get_experiment(name), run_dir,
                           224 if is_nest else args.image_size,
