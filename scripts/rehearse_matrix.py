@@ -123,6 +123,25 @@ def smoke_scale(cfg, out_dir: str, image_size: int, n_samples: int,
     return cfg
 
 
+def _row_marker(run_dir: str) -> str:
+    return os.path.join(run_dir, "rehearsal_done.json")
+
+
+def _load_marker(path: str):
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_marker(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=2)
+    os.replace(tmp, path)  # atomic: a kill mid-write can't fake completion
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default=os.path.join(REPO, "outputs",
@@ -141,42 +160,61 @@ def main(argv=None) -> int:
     t_start = time.time()
     os.makedirs(args.out, exist_ok=True)
 
+    # Resume contract (round-4 advisor findings, all three):
+    #  - every phase is keyed on an explicit, atomically-written completion
+    #    MARKER carrying the invocation fingerprint — never on "some
+    #    checkpoint/CSV exists" (a truncated file or an earlier-epoch
+    #    interrupted run could otherwise be silently reused);
+    #  - re-running with different --samples/--image-size/--epochs (or a
+    #    regenerated pretrain checkpoint) invalidates the markers, so one
+    #    table can never mix scales;
+    #  - WITHIN a row, the driver resumes per fold (cfg.resume_completed_
+    #    folds: fold{i}.done.json with a full-config fingerprint), so an
+    #    interrupted 4-fold row restarts at its first unfinished fold.
+    run_fp = {"image_size": args.image_size, "samples": args.samples,
+              "nest_samples": args.nest_samples, "epochs": args.epochs}
+
     # 1) VLP pretrain at smoke scale -> warm-start checkpoint for the
     #    finetune/linear-probe rows (their pretrained_ckpt is REQUIRED:).
-    # A completed phase (checkpoint / test_eval.csv already in run_dir) is
-    # SKIPPED on re-invocation, so an interrupted rehearsal resumes at the
-    # first unfinished row instead of redoing ~2h of 1-core work.
     pre_dir = os.path.join(args.out, "vlp_pretrain")
-    ckpts = sorted(d for d in glob.glob(
-        os.path.join(pre_dir, "checkpoints", "fold0", "epoch*"))
-        if os.path.isdir(d))
-    if ckpts:
+    pre_marker = _row_marker(pre_dir)
+    pre_fp = {"image_size": args.image_size, "samples": 64,
+              "epochs": args.epochs}
+    done = _load_marker(pre_marker)
+    if done and done.get("fingerprint") == pre_fp:
         print(f"[rehearsal] reusing completed pretrain in {pre_dir}",
               flush=True)
     else:
+        if done is not None:
+            print(f"[rehearsal] pretrain marker args changed "
+                  f"({done.get('fingerprint')} != {pre_fp}); re-running",
+                  flush=True)
         print(f"[rehearsal] pretraining {PRETRAIN_EXPERIMENT} -> {pre_dir}",
               flush=True)
         cfg = smoke_scale(get_experiment(PRETRAIN_EXPERIMENT), pre_dir,
                           args.image_size, 64, args.epochs)
         cfg.k_fold_cross_validation = False  # one pretrain fold is enough
+        cfg.resume_completed_folds = True
         train(cfg)
-        ckpts = sorted(d for d in glob.glob(
-            os.path.join(pre_dir, "checkpoints", "fold0", "epoch*"))
-            if os.path.isdir(d))
+        _write_marker(pre_marker, {"fingerprint": pre_fp})
+    ckpts = sorted(d for d in glob.glob(
+        os.path.join(pre_dir, "checkpoints", "fold0", "epoch*"))
+        if os.path.isdir(d))
     assert ckpts, "VLP pretrain produced no checkpoint"
     vlp_ckpt = ckpts[-1]
+    # identity of the warm-start checkpoint: rows trained against an OLDER
+    # pretrain (path or regenerated content) must not be reused
+    vlp_ckpt_id = {"path": vlp_ckpt,
+                   "mtime": round(os.path.getmtime(vlp_ckpt), 2)}
     print(f"[rehearsal] VLP warm-start checkpoint: {vlp_ckpt}", flush=True)
 
     # 2) the 9 matrix rows: 4-fold CV + frozen-test eval each.
     spec_rows = []
     for section, label, model, name in MATRIX:
         run_dir = os.path.join(args.out, name)
-        if os.path.exists(os.path.join(run_dir, "test_eval.csv")):
-            print(f"[rehearsal] {name}: reusing completed row in {run_dir}",
-                  flush=True)
-            spec_rows.append({"section": section, "experiment": label,
-                              "model": model, "run_dir": run_dir})
-            continue
+        spec_rows.append({"section": section, "experiment": label,
+                          "model": model, "run_dir": run_dir})
+        row_fp = dict(run_fp)
         is_nest = "nest" in name
         cfg = smoke_scale(get_experiment(name), run_dir,
                           224 if is_nest else args.image_size,
@@ -184,8 +222,19 @@ def main(argv=None) -> int:
                           args.epochs)
         cfg.test = True  # frozen-test eval after CV (driver test=true path)
         cfg.k_fold_cross_validation = True
+        cfg.resume_completed_folds = True  # per-fold resume within the row
         if (cfg.model.pretrained_ckpt or "").startswith("REQUIRED:"):
             cfg.model.pretrained_ckpt = vlp_ckpt
+            row_fp["vlp_ckpt"] = vlp_ckpt_id
+        done = _load_marker(_row_marker(run_dir))
+        if done and done.get("fingerprint") == row_fp and \
+                os.path.exists(os.path.join(run_dir, "test_eval.csv")):
+            print(f"[rehearsal] {name}: reusing completed row in {run_dir}",
+                  flush=True)
+            continue
+        if done is not None:
+            print(f"[rehearsal] {name}: marker args changed; re-running",
+                  flush=True)
         print(f"[rehearsal] {section} / {label} / {model}: {name} "
               f"({cfg.data.n_folds_downstream}-fold CV + frozen test)",
               flush=True)
@@ -197,8 +246,8 @@ def main(argv=None) -> int:
               f"frozen-test: {test_keys}", flush=True)
         assert os.path.exists(os.path.join(run_dir, "test_eval.csv")), \
             f"{name}: driver test=true produced no test_eval.csv"
-        spec_rows.append({"section": section, "experiment": label,
-                          "model": model, "run_dir": run_dir})
+        _write_marker(_row_marker(run_dir),
+                      {"fingerprint": row_fp, "frozen_test": test_keys})
 
     # 3) render the README-style table through the real tooling.
     import yaml

@@ -178,6 +178,12 @@ class Config:
     test: bool = False
     ckpt_path: Optional[str] = None
     k_fold_cross_validation: bool = False
+    # Skip folds whose fold{i}.done.json completion marker (written by the
+    # driver after every finished fold) matches this config. Safe by
+    # construction: the marker embeds a config fingerprint, so changed
+    # hyperparameters/data scales force a re-run instead of silently mixing
+    # results (used by scripts/rehearse_matrix.py for unattended resume).
+    resume_completed_folds: bool = False
     output_dir: str = "outputs"
     logger: str = "jsonl"  # jsonl | wandb (reference configs/logger/wandb.yaml)
     wandb_project: str = "vlp_tpu"

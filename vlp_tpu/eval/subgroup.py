@@ -104,7 +104,12 @@ def evaluate_results(output_file: Optional[str], dfs: List[pd.DataFrame]
     if output_file:
         os.makedirs(os.path.dirname(os.path.abspath(output_file)),
                     exist_ok=True)
-        out.to_csv(output_file, index=False, na_rep="NaN")
+        # atomic write: downstream tooling (rehearse_matrix resume) treats
+        # this file's existence as a completion marker — a kill mid-write
+        # must not leave a truncated CSV that later resumes would trust
+        tmp = output_file + ".tmp"
+        out.to_csv(tmp, index=False, na_rep="NaN")
+        os.replace(tmp, output_file)
     return out
 
 

@@ -155,6 +155,36 @@ def _linear_probe_callback(cfg: Config, mesh, downstream: DownstreamData,
     return probe, pak, fold
 
 
+def _config_fingerprint(cfg: Config) -> str:
+    """Stable hash of every config field that affects a fold's training
+    result. `resume_completed_folds` and `test` are excluded (they control
+    orchestration around the folds, not the folds themselves); everything
+    else — data scale, model, optimizer, pretrained_ckpt path — is in, so a
+    stale fold{i}.done.json written under different args is never reused
+    (round-4 advisor finding: silently mixing scales in one resumed run)."""
+    import hashlib
+
+    d = cfg.to_dict()
+    d.pop("resume_completed_folds", None)
+    d.pop("test", None)
+    blob = json.dumps(d, sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _write_fold_done(path: str, summary: Dict[str, float], fp: str) -> None:
+    """Atomic completion marker: summary + config fingerprint. Written via
+    temp-file + os.replace so a kill mid-write can never leave a truncated
+    marker that a later resume would trust."""
+    from vlp_tpu.utils.logging import _to_jsonable
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"fingerprint": fp,
+                   "summary": {k: _to_jsonable(v)
+                               for k, v in summary.items()}}, fh, indent=2)
+    os.replace(tmp, path)
+
+
 def train(cfg: Config) -> Dict[str, float]:
     # pure config validation FIRST — before paying mesh/dataset setup
     if cfg.ckpt_path and cfg.k_fold_cross_validation:
@@ -186,9 +216,28 @@ def train(cfg: Config) -> Dict[str, float]:
 
     fold_summaries: List[Dict[str, float]] = []
     n_folds = None if cfg.k_fold_cross_validation else 1
+    fp = _config_fingerprint(cfg)
     for fold in dm.folds():
         if n_folds is not None and fold.index >= n_folds:
             break
+        done_path = os.path.join(cfg.output_dir,
+                                 f"fold{fold.index}.done.json")
+        if cfg.resume_completed_folds and os.path.exists(done_path):
+            try:
+                with open(done_path) as fh:
+                    done = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                done = None
+            if done and done.get("fingerprint") == fp:
+                logger.info("Fold %d: reusing completed summary (%s)",
+                            fold.index, done_path)
+                fold_summaries.append(done["summary"])
+                continue
+            if done is not None:
+                logger.warning(
+                    "Fold %d: %s fingerprint does not match this config "
+                    "(args/data changed since it was written) — re-running "
+                    "the fold", fold.index, done_path)
         sinks = [
             MemorySink(),
             JsonlSink(os.path.join(cfg.output_dir,
@@ -254,6 +303,7 @@ def train(cfg: Config) -> Dict[str, float]:
                 cfg, trainer, downstream, mesh))
         sink.log_summary(summary)
         sink.finish()
+        _write_fold_done(done_path, summary, fp)
         fold_summaries.append(summary)
         logger.info("Fold %d summary: %s", fold.index,
                     {k: round(v, 4) for k, v in summary.items()
