@@ -263,7 +263,9 @@ class ViT(nn.Module):
     # less activation HBM — REQUIRED for ViT-L train at batch >= 64 on a
     # 16 GB v5e chip (without it the AOT compile aborts; with it batch 128
     # fits). Composes with the Pallas custom-VJP kernels (they recompute
-    # within the block either way). Value/grad parity: tests/test_vit.py.
+    # within the block either way). Value/grad parity:
+    # tests/test_models.py (test_vit_values_and_grads_match,
+    # test_vit_remat_with_pallas_interpret).
     remat: bool = False
 
     def setup(self):
