@@ -107,6 +107,98 @@ class TestTorchImport:
             convert_torchvision_resnet(sd, params, batch_stats)
 
 
+def build_torch_resnet(torch, block, layers, in_ch=3, num_classes=1):
+    """Hand-written torchvision-exact ResNet (BasicBlock or Bottleneck) —
+    the torch side of the value/trajectory parity tests (also used by
+    tests/test_torch_trajectory.py). Ships with torch's own default init;
+    callers that need randomized BN running stats overwrite them."""
+    nn = torch.nn
+
+    class TBasic(nn.Module):
+        expansion = 1
+
+        def __init__(self, cin, planes, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, planes, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.relu = nn.ReLU()
+            if stride != 1 or cin != planes:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, planes, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes))
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idn)
+
+    class TBottle(nn.Module):
+        expansion = 4
+
+        def __init__(self, cin, planes, stride=1):
+            super().__init__()
+            cout = planes * 4
+            self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            # torchvision v1.5: stride on the 3x3
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1,
+                                   bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU()
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(y + idn)
+
+    blk = TBasic if block == "basic" else TBottle
+
+    class TResNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU()
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            cin = 64
+            for i, n in enumerate(layers):
+                planes = 64 * 2 ** i
+                stage = []
+                for j in range(n):
+                    stage.append(blk(cin, planes, 2 if i > 0 and j == 0
+                                     else 1))
+                    cin = planes * blk.expansion
+                setattr(self, f"layer{i + 1}", nn.Sequential(*stage))
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(cin, num_classes)
+
+        def forward_features(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for i in range(len(layers)):
+                x = getattr(self, f"layer{i + 1}")(x)
+            return self.avgpool(x).flatten(1)
+
+        def forward(self, x):
+            return self.fc(self.forward_features(x))
+
+    return TResNet()
+
+
 class TestTorchValueParity:
     """Value-level conversion fidelity vs REAL torch models (VERDICT r2 #7):
     hand-written torchvision-exact ResNets (BasicBlock resnet34, the xrv-
@@ -117,89 +209,8 @@ class TestTorchValueParity:
 
     def _torch_resnet(self, block, layers, in_ch=3, num_classes=1):
         torch = pytest.importorskip("torch")
-        nn = torch.nn
-
-        class TBasic(nn.Module):
-            expansion = 1
-
-            def __init__(self, cin, planes, stride=1):
-                super().__init__()
-                self.conv1 = nn.Conv2d(cin, planes, 3, stride, 1, bias=False)
-                self.bn1 = nn.BatchNorm2d(planes)
-                self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
-                self.bn2 = nn.BatchNorm2d(planes)
-                self.relu = nn.ReLU()
-                if stride != 1 or cin != planes:
-                    self.downsample = nn.Sequential(
-                        nn.Conv2d(cin, planes, 1, stride, bias=False),
-                        nn.BatchNorm2d(planes))
-                else:
-                    self.downsample = None
-
-            def forward(self, x):
-                idn = x if self.downsample is None else self.downsample(x)
-                y = self.relu(self.bn1(self.conv1(x)))
-                y = self.bn2(self.conv2(y))
-                return self.relu(y + idn)
-
-        class TBottle(nn.Module):
-            expansion = 4
-
-            def __init__(self, cin, planes, stride=1):
-                super().__init__()
-                cout = planes * 4
-                self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
-                self.bn1 = nn.BatchNorm2d(planes)
-                # torchvision v1.5: stride on the 3x3
-                self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1,
-                                       bias=False)
-                self.bn2 = nn.BatchNorm2d(planes)
-                self.conv3 = nn.Conv2d(planes, cout, 1, bias=False)
-                self.bn3 = nn.BatchNorm2d(cout)
-                self.relu = nn.ReLU()
-                if stride != 1 or cin != cout:
-                    self.downsample = nn.Sequential(
-                        nn.Conv2d(cin, cout, 1, stride, bias=False),
-                        nn.BatchNorm2d(cout))
-                else:
-                    self.downsample = None
-
-            def forward(self, x):
-                idn = x if self.downsample is None else self.downsample(x)
-                y = self.relu(self.bn1(self.conv1(x)))
-                y = self.relu(self.bn2(self.conv2(y)))
-                y = self.bn3(self.conv3(y))
-                return self.relu(y + idn)
-
-        blk = TBasic if block == "basic" else TBottle
-
-        class TResNet(nn.Module):
-            def __init__(self):
-                super().__init__()
-                self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
-                self.bn1 = nn.BatchNorm2d(64)
-                self.relu = nn.ReLU()
-                self.maxpool = nn.MaxPool2d(3, 2, 1)
-                cin = 64
-                for i, n in enumerate(layers):
-                    planes = 64 * 2 ** i
-                    stage = []
-                    for j in range(n):
-                        stage.append(blk(cin, planes, 2 if i > 0 and j == 0
-                                         else 1))
-                        cin = planes * blk.expansion
-                    setattr(self, f"layer{i + 1}", nn.Sequential(*stage))
-                self.avgpool = nn.AdaptiveAvgPool2d(1)
-                self.fc = nn.Linear(cin, num_classes)
-
-            def forward(self, x):
-                x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
-                for i in range(len(layers)):
-                    x = getattr(self, f"layer{i + 1}")(x)
-                x = self.avgpool(x).flatten(1)
-                return self.fc(x)
-
-        model = TResNet()
+        model = build_torch_resnet(torch, block, layers, in_ch=in_ch,
+                                   num_classes=num_classes)
         # randomize EVERYTHING incl. BN running stats so eval-mode parity
         # proves the statistics landed in the right slots
         g = torch.Generator().manual_seed(0)
@@ -260,9 +271,6 @@ class TestTorchValueParity:
             x = np.random.default_rng(1).standard_normal(
                 (2, 1, 64, 64)).astype(np.float32)
             t = torch.from_numpy(x)
-            t = tmodel.maxpool(tmodel.relu(tmodel.bn1(tmodel.conv1(t))))
-            for i in range(4):
-                t = getattr(tmodel, f"layer{i + 1}")(t)
-            feats = tmodel.avgpool(t).flatten(1).numpy()
+            feats = tmodel.forward_features(t).numpy()
         assert out_feats.shape == feats.shape == (2, 2048)
         np.testing.assert_allclose(out_feats, feats, atol=2e-3, rtol=1e-3)
