@@ -140,6 +140,24 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = min(times)
     images_per_sec = batch_size * steps / dt
+
+    # Delivered-loop invariant (VERDICT r4 #8): the REAL Trainer.fit path
+    # must stay within 3% of this scan microbenchmark — re-verified every
+    # bench run and recorded in the sidecar. >= 4 epochs (r4 #7) so the
+    # claim doesn't rest on one post-compile epoch.
+    trainer_loop = None
+    ratio = None
+    if os.environ.get("BENCH_TRAINER_RATIO", "1") == "1":
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from trainer_loop_bench import measure_trainer_loop
+
+        trainer_loop = measure_trainer_loop(batch=batch_size,
+                                            scan_steps=steps)
+        ratio = trainer_loop["images_per_sec"] / images_per_sec
+
     # sidecar: raw protocol config (ONE throughput convention shared with
     # benchmarks/run_benchmarks.py — VERDICT r3 #4) + the TPU-only kernel
     # checks (#9). stdout stays a single JSON line per the driver contract.
@@ -155,6 +173,10 @@ def main() -> None:
         "all_times_s": [round(t, 4) for t in times],
         "tpu_kernel_checks": tpu_only_kernel_checks(),
     }
+    if trainer_loop is not None:
+        sidecar["trainer_loop"] = trainer_loop
+        sidecar["delivered_loop_ratio"] = round(ratio, 4)
+        sidecar["delivered_loop_ok"] = bool(ratio >= 0.97)
     sidecar_path = os.environ.get(
         "BENCH_SIDECAR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -169,7 +191,14 @@ def main() -> None:
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 3),
-    }))
+    }), flush=True)
+    # asserted AFTER the metric line is on stdout so a regression fails
+    # loudly without losing the measurement
+    if ratio is not None:
+        assert ratio >= 0.97, (
+            f"delivered Trainer.fit loop regressed to {100 * ratio:.1f}% of "
+            f"the scan microbenchmark ({trainer_loop['images_per_sec']} vs "
+            f"{images_per_sec:.0f} img/s; invariant: >= 97%)")
 
 
 if __name__ == "__main__":

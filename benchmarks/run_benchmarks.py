@@ -434,50 +434,24 @@ def main() -> None:
     # must stay within ~10% of the vlp_train scan-microbenchmark number
     # (VERDICT r1 #4 acceptance).
     if os.environ.get("BENCH_TRAINER_LOOP", "1") == "1":
-        import tempfile
+        from trainer_loop_bench import measure_trainer_loop
 
-        from vlp_tpu.config import apply_overrides, get_experiment
-        from vlp_tpu.train.driver import train as driver_train
-
-        cfg = get_experiment("smoke_synthetic_pretrain")
-        # epoch length: real MURA+LERA is ~700 batches/epoch; a short
-        # epoch over-weights epoch-boundary costs (pipeline ramp, metric
-        # fetch) relative to production. At K=20 steps/dispatch, 40
-        # batches = 2 dispatches/epoch — boundary costs land on HALF the
-        # dispatches. 200 batches (10 dispatches, ~6 s/epoch) measures
-        # steady state while staying cheap.
         nbatch = int(os.environ.get("BENCH_TRAINER_EPOCH_BATCHES", "200"))
-        cfg = apply_overrides(cfg, [
-            "model.model=resnet34", "model.text_model=tinybert",
-            "data.image_size=224", "data.batch_size=128",
-            "data.eval_batch_size=128", "data.max_token_length=40",
-            f"data.synthetic_num_samples={nbatch * B}",
-            "downstream_data.synthetic_num_samples=64",
-            "trainer.max_epochs=2", "trainer.precision=bf16",
-            # like-for-like with the vlp_train scan microbenchmark: same
-            # K=20 steps per dispatch (VERDICT r3 #4)
-            f"trainer.scan_steps={K}",
-            # probe/pak run OUTSIDE the timed train loop; tiny downstream
-            # set keeps their wall cost negligible
-        ])
-        cfg.output_dir = tempfile.mkdtemp(prefix="bench_trainer_")
-        driver_train(cfg)
-        hist = [json.loads(l) for l in
-                open(os.path.join(cfg.output_dir, "metrics_fold0.jsonl"))]
-        ips = [h["train/images_per_sec"] for h in hist
-               if "train/images_per_sec" in h]
-        results["trainer_loop"] = {
-            "images_per_sec": round(max(ips), 1),  # epoch 0 pays compile
-            "epochs_measured": len(ips)}
+        epochs = int(os.environ.get("BENCH_TRAINER_EPOCHS", "4"))
+        results["trainer_loop"] = measure_trainer_loop(
+            batch=B, scan_steps=K, epoch_batches=nbatch, max_epochs=epochs)
         base = results.get("vlp_train")
         if not base and os.path.exists(out_path):  # section-only run
             with open(out_path) as fh:
                 base = json.load(fh).get("vlp_train")
         if base and "images_per_sec" in base:
             results["trainer_loop"]["pct_of_vlp_train"] = round(
-                100 * max(ips) / base["images_per_sec"], 1)
-        print(f"trainer_loop: {max(ips):.0f} img/s (epochs: "
-              f"{[round(x) for x in ips]})", flush=True)
+                100 * results["trainer_loop"]["images_per_sec"]
+                / base["images_per_sec"], 1)
+        print(f"trainer_loop: {results['trainer_loop']['images_per_sec']:.0f}"
+              f" img/s (epochs: "
+              f"{results['trainer_loop']['images_per_sec_all_epochs']})",
+              flush=True)
 
     checkpoint_results()
     print(f"wrote {out_path}", flush=True)
