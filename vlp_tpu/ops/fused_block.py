@@ -645,6 +645,94 @@ def _lnmlp_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, dout_ref,
     dx_ref[...] = (dy + _ln_bwd_dx(dxh, xh, inv)).astype(dx_ref.dtype)
 
 
+def _lnmlp_bwd_kernel_fsplit(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                             dout_ref, dx_ref, dg_ref, db_ref, dw1_ref,
+                             db1_ref, dw2_ref, db2_ref, *, parts):
+    """Backward pipelined over F column-slices (VERDICT r4 #5): slice p's
+    VPU work (gelu_and_grad, the dgelu multiply) overlaps slice p+1's MXU
+    matmuls (z, dh_raw), with only ~2 f-wide slices live at once — the
+    row-sub-tile restructuring measured SLOWER (1.27 -> 1.63 ms, every
+    sub-tile's z/h/dh alive together); slicing the HIDDEN dim instead
+    keeps the live set flat. Measured v5e L3 (benchmarks/mega_variants.py
+    'mlp_bwd fsplit'): see DESIGN.md §7b. Outputs match the serial kernel
+    to one bf16 ulp on dx (dln summation order), weight grads bitwise."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    dtype = x_ref.dtype
+    f = w1_ref.shape[1]
+    fp = f // parts
+    x = x_ref[...].astype(jnp.float32)
+    xh, inv = _ln_fwd(x)
+    ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
+    dy = dout_ref[...].astype(jnp.float32)
+    dyb = dy.astype(dtype)
+    db2_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+
+    def zslice(p):
+        return jnp.dot(ln, w1_ref[:, p * fp:(p + 1) * fp],
+                       preferred_element_type=jnp.float32) \
+            + b1_ref[:, p * fp:(p + 1) * fp]
+
+    def dhraw(p):
+        return jax.lax.dot_general(
+            dyb, w2_ref[p * fp:(p + 1) * fp, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def sink(p, z_p, draw_p, dln):
+        h32, dgelu = _gelu_and_grad(z_p)
+        h = h32.astype(dtype)
+        dh32 = draw_p * dgelu
+        dh = dh32.astype(dtype)
+        dw2_ref[p * fp:(p + 1) * fp, :] += jax.lax.dot_general(
+            h, dyb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw1_ref[:, p * fp:(p + 1) * fp] += jax.lax.dot_general(
+            ln, dh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db1_ref[:, p * fp:(p + 1) * fp] += jnp.sum(dh32, axis=0,
+                                                   keepdims=True)
+        t = jax.lax.dot_general(dh, w1_ref[:, p * fp:(p + 1) * fp],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return t if dln is None else dln + t
+
+    dln = None
+    z_p, draw_p = zslice(0), dhraw(0)
+    for p in range(parts):
+        if p + 1 < parts:  # issue slice p+1's MXU before slice p's VPU
+            z_n, draw_n = zslice(p + 1), dhraw(p + 1)
+        dln = sink(p, z_p, draw_p, dln)
+        if p + 1 < parts:
+            z_p, draw_p = z_n, draw_n
+    dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
+    dxh = dln * g_ref[...]
+    dx_ref[...] = (dy + _ln_bwd_dx(dxh, xh, inv)).astype(dx_ref.dtype)
+
+
+def _mlp_bwd_fsplit_parts(f: int) -> int:
+    """F column-slices for the pipelined MLP backward; 1 = serial kernel.
+    Default decided by measurement (DESIGN.md §7b); VLP_MEGA_BWD_SPLIT
+    overrides (0/1 = serial). Slices must be lane-aligned (128)."""
+    import os
+
+    env = os.environ.get("VLP_MEGA_BWD_SPLIT")
+    if env is not None:
+        p = max(1, int(env))
+    else:
+        p = 4
+    while p > 1 and (f % p or (f // p) % 128):
+        p //= 2
+    return max(p, 1)
+
+
 def _mlp_tile(m: int, d: int, f: int, itemsize: int) -> int:
     """Row tile for the MLP half-block backward under the VMEM budget."""
     budget = 11 * 1024 * 1024
@@ -720,8 +808,11 @@ def _lnmlp_bwd(interpret, res, dout):
     f = w1.shape[1]
     tm = _mlp_tile(m, d, f, x.dtype.itemsize)
     f32 = jnp.float32
+    parts = _mlp_bwd_fsplit_parts(f)
+    kernel = (functools.partial(_lnmlp_bwd_kernel_fsplit, parts=parts)
+              if parts > 1 else _lnmlp_bwd_kernel)
     dx, dg, db, dw1, db1, dw2, db2 = pl.pallas_call(
-        _lnmlp_bwd_kernel,
+        kernel,
         grid=(m // tm,),
         in_specs=[_row2(tm, d), _const((1, d)), _const((1, d)),
                   _const((d, f)), _const((1, f)), _const((f, d)),
