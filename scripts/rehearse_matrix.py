@@ -157,6 +157,12 @@ def main(argv=None) -> int:
     p.add_argument("--doc", default=os.path.join(REPO, "docs",
                                                  "REHEARSAL.md"))
     args = p.parse_args(argv)
+    # Normalize: fingerprints (row markers + the driver's per-fold config
+    # hash) embed output/checkpoint paths, so `--out outputs/rehearsal` and
+    # `--out /root/repo/outputs/rehearsal` must resolve identically or a
+    # resume under the other spelling silently re-runs every VLP row.
+    args.out = os.path.abspath(args.out)
+    args.doc = os.path.abspath(args.doc)
     t_start = time.time()
     os.makedirs(args.out, exist_ok=True)
 
@@ -288,10 +294,19 @@ orchestration path, not model quality (real datasets are unavailable in
 this environment; see STATUS.md).
 
 {md}
-Produced {time.strftime('%Y-%m-%d %H:%M:%S')} in {time.time()-t_start:.0f}s
-on a 1-core CPU host (8 virtual XLA devices). Tidy CSV + per-row run dirs
-(checkpoints, metrics JSONL, test_eval.csv, plots) under `{args.out}/`.
+Rendered {time.strftime('%Y-%m-%d %H:%M:%S')} (this invocation {time.time()-t_start:.0f}s;
+rows completed in earlier invocations of the same command are reused via
+fingerprinted per-fold resume — see rehearsal_done.json/fold*.done.json)
+on a 1-core CPU host (8 virtual XLA devices). Tidy CSV committed beside
+this file (`rehearsal_matrix_tidy.csv`); per-row run dirs (checkpoints,
+metrics JSONL, test_eval.csv, plots) under `{args.out}/`.
 """)
+    # commit-able copy of the tidy CSV next to the doc (outputs/ is ignored)
+    import shutil
+
+    shutil.copyfile(os.path.join(args.out, "matrix_tidy.csv"),
+                    os.path.join(os.path.dirname(args.doc),
+                                 "rehearsal_matrix_tidy.csv"))
     print(md)
     print(f"[rehearsal] artifact -> {args.doc} "
           f"({time.time()-t_start:.0f}s total)", flush=True)
