@@ -197,7 +197,8 @@ def main() -> None:
         rec = {"xla_fwd_ms": round(t_xla, 3),
                "xla_fwd_tflops": round(flops / t_xla / 1e9, 1)}
         # pick the largest sample group whose halo'd map + GEMM fits VMEM
-        g = max(gg for gg in (16, 8, 4, 2, 1) if B % gg == 0 and
+        # (g=16 at stage3 crashed the Mosaic compile helper; cap at 8)
+        g = max(gg for gg in (8, 4, 2, 1) if B % gg == 0 and
                 gg * (hw + 2) ** 2 * c * 2 + gg * hw * hw * c * 6 <
                 10 * 2 ** 20)
         try:

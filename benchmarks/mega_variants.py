@@ -770,6 +770,9 @@ def main() -> None:
                                                   tm=256, parts=4),
             "mlp_bwd fsplit4 tm512": make_mlp_bwd(mlp_bwd_kernel_fsplit,
                                                   tm=512, parts=4),
+            "mlp_bwd v0 tm512": make_mlp_bwd(mlp_bwd_kernel_v0, tm=512),
+            "mlp_bwd fsplit2 tm512": make_mlp_bwd(mlp_bwd_kernel_fsplit,
+                                                  tm=512, parts=2),
         }.items():
             t = timed(lambda xx: fn(xx, gamma, beta, w1, b1, w2, dout)[0], x)
             outs = [np.asarray(a, jnp.float32) for a in

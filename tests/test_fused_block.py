@@ -317,6 +317,8 @@ class TestFsplitBwdVariant:
 
     def test_parts_fall_back_on_unaligned_f(self, monkeypatch):
         monkeypatch.delenv("VLP_MEGA_BWD_SPLIT", raising=False)
+        assert FB._mlp_bwd_fsplit_parts(1536) == 1  # default: serial
+        monkeypatch.setenv("VLP_MEGA_BWD_SPLIT", "4")
         assert FB._mlp_bwd_fsplit_parts(128) == 1   # fp=32: not lane-sized
         assert FB._mlp_bwd_fsplit_parts(1536) == 4  # NesT L3
         assert FB._mlp_bwd_fsplit_parts(768) == 2   # NesT L2: fp 192 -> 384

@@ -719,28 +719,36 @@ def _lnmlp_bwd_kernel_fsplit(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
 
 def _mlp_bwd_fsplit_parts(f: int) -> int:
     """F column-slices for the pipelined MLP backward; 1 = serial kernel.
-    Default decided by measurement (DESIGN.md §7b); VLP_MEGA_BWD_SPLIT
-    overrides (0/1 = serial). Slices must be lane-aligned (128)."""
+    MEASURED NEUTRAL on v5e at L3 shapes (mega_variants.py: fsplit2 1.244
+    vs serial 1.247 ms, fsplit2@tm256 1.210 vs serial@tm256 1.197) — the
+    serial kernel's VPU work already overlaps its matmuls as scheduled by
+    Mosaic, so explicit F-slice pipelining buys nothing; default stays
+    serial and VLP_MEGA_BWD_SPLIT=2/4 keeps the variant testable
+    (DESIGN.md §7b). Slices must be lane-aligned (128)."""
     import os
 
-    env = os.environ.get("VLP_MEGA_BWD_SPLIT")
-    if env is not None:
-        p = max(1, int(env))
-    else:
-        p = 4
+    p = max(1, int(os.environ.get("VLP_MEGA_BWD_SPLIT", "1")))
     while p > 1 and (f % p or (f // p) % 128):
         p //= 2
     return max(p, 1)
 
 
 def _mlp_tile(m: int, d: int, f: int, itemsize: int) -> int:
-    """Row tile for the MLP half-block backward under the VMEM budget."""
-    budget = 11 * 1024 * 1024
+    """Row tile for the MLP half-block backward under the VMEM budget.
+
+    Accounting (retuned round 5 against on-chip measurement,
+    benchmarks/mega_variants.py): only the x/dout/dx IO blocks are
+    double-buffered by the pipeline; the per-row scratch (x/xh/dy f32,
+    ln/dx bf16, z/dh32 f32 + h/dh bf16 over f cols) is single-buffered.
+    The previous model double-counted scratch and capped L3 (d=384,
+    f=1536) at tm=128 — tm=256 compiles fine and measures 4% faster
+    (1.197 vs 1.247 ms/block v5e)."""
+    budget = 15 * 1024 * 1024
     resident = 2 * d * f * itemsize + 2 * d * f * 4
-    # per row: x/xh/dy f32 (3*4*d), ln/dx bf16, z f32 + h bf16 (f cols)
-    per_row = d * (3 * 4 + 2 * itemsize) + f * (4 + itemsize)
+    io_row = 2 * 3 * d * itemsize                      # dbl-buffered x/dy/dx
+    scratch_row = d * (3 * 4 + 2 * itemsize) + f * (2 * 4 + itemsize)
     for tm in (512, 256, 128, 64):
-        if m % tm == 0 and resident + 2 * tm * per_row <= budget:
+        if m % tm == 0 and resident + tm * (io_row + scratch_row) <= budget:
             return tm
     return 0
 
