@@ -141,23 +141,6 @@ def main() -> None:
     dt = min(times)
     images_per_sec = batch_size * steps / dt
 
-    # Delivered-loop invariant (VERDICT r4 #8): the REAL Trainer.fit path
-    # must stay within 3% of this scan microbenchmark — re-verified every
-    # bench run and recorded in the sidecar. >= 4 epochs (r4 #7) so the
-    # claim doesn't rest on one post-compile epoch.
-    trainer_loop = None
-    ratio = None
-    if os.environ.get("BENCH_TRAINER_RATIO", "1") == "1":
-        import sys
-
-        sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
-        from trainer_loop_bench import measure_trainer_loop
-
-        trainer_loop = measure_trainer_loop(batch=batch_size,
-                                            scan_steps=steps)
-        ratio = trainer_loop["images_per_sec"] / images_per_sec
-
     # sidecar: raw protocol config (ONE throughput convention shared with
     # benchmarks/run_benchmarks.py — VERDICT r3 #4) + the TPU-only kernel
     # checks (#9). stdout stays a single JSON line per the driver contract.
@@ -173,28 +156,54 @@ def main() -> None:
         "all_times_s": [round(t, 4) for t in times],
         "tpu_kernel_checks": tpu_only_kernel_checks(),
     }
-    if trainer_loop is not None:
-        sidecar["trainer_loop"] = trainer_loop
-        sidecar["delivered_loop_ratio"] = round(ratio, 4)
-        sidecar["delivered_loop_ok"] = bool(ratio >= 0.97)
     sidecar_path = os.environ.get(
         "BENCH_SIDECAR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "benchmarks", "bench_sidecar.json"))
-    try:
-        with open(sidecar_path, "w") as fh:
-            json.dump(sidecar, fh, indent=2)
-    except OSError:
-        pass
+
+    def write_sidecar():
+        try:
+            with open(sidecar_path, "w") as fh:
+                json.dump(sidecar, fh, indent=2)
+        except OSError:
+            pass
+
+    # metric line + scan-only sidecar FIRST: the trainer-loop phase below
+    # runs a second full model in this process — if it dies (OOM on the
+    # shared 16 GB chip), the already-valid scan measurement must survive.
+    write_sidecar()
     print(json.dumps({
         "metric": "vlp_pretrain_images_per_sec_per_chip",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 3),
     }), flush=True)
-    # asserted AFTER the metric line is on stdout so a regression fails
-    # loudly without losing the measurement
-    if ratio is not None:
+
+    # Delivered-loop invariant (VERDICT r4 #8): the REAL Trainer.fit path
+    # must stay within 3% of this scan microbenchmark — re-verified every
+    # bench run and recorded in the sidecar. >= 4 epochs (r4 #7) so the
+    # claim doesn't rest on one post-compile epoch. measure_trainer_loop
+    # pins the DEFAULT resnet34/tinybert workload, so the ratio is only
+    # meaningful (and only asserted) when the scan above measured the same
+    # model — a BENCH_MODEL override would compare apples to oranges.
+    default_model = (cfg.model.model == "resnet34"
+                     and cfg.model.text_model == "tinybert")
+    if os.environ.get("BENCH_TRAINER_RATIO", "1") == "1" and default_model:
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from trainer_loop_bench import measure_trainer_loop
+
+        trainer_loop = measure_trainer_loop(batch=batch_size,
+                                            scan_steps=steps)
+        ratio = trainer_loop["images_per_sec"] / images_per_sec
+        sidecar["trainer_loop"] = trainer_loop
+        sidecar["delivered_loop_ratio"] = round(ratio, 4)
+        sidecar["delivered_loop_ok"] = bool(ratio >= 0.97)
+        write_sidecar()
+        # asserted AFTER the metric line is on stdout so a regression fails
+        # loudly without losing the measurement
         assert ratio >= 0.97, (
             f"delivered Trainer.fit loop regressed to {100 * ratio:.1f}% of "
             f"the scan microbenchmark ({trainer_loop['images_per_sec']} vs "

@@ -287,75 +287,11 @@ def _mlp_bwd_epilogue(j, sm, dlns, xhs, invs, dys, g_ref, dg_ref, db_ref,
         dys[j] + _ln_bwd_dx(dxh, xhs[j], invs[j])).astype(dx_ref.dtype)
 
 
-def mlp_bwd_kernel_fsplit(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
-                          dout_ref, dx_ref, dg_ref, db_ref, dw1_ref,
-                          db1_ref, dw2_ref, db2_ref, *, parts):
-    """Backward pipelined over F column-slices instead of row sub-tiles:
-    slice p's VPU work (gelu_and_grad, dgelu multiply) overlaps slice
-    p+1's MXU matmuls (z, dh_raw), and only ~2 slices of the f-wide
-    activations are ever live — the row-pipe variant's failure mode
-    (every sub-tile's z/h/dh alive at once) cannot occur. dln accumulates
-    across slices; the LN backward runs once at the end."""
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dg_ref[...] = jnp.zeros_like(dg_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
-        dw1_ref[...] = jnp.zeros_like(dw1_ref)
-        db1_ref[...] = jnp.zeros_like(db1_ref)
-        dw2_ref[...] = jnp.zeros_like(dw2_ref)
-        db2_ref[...] = jnp.zeros_like(db2_ref)
-
-    dtype = x_ref.dtype
-    f = w1_ref.shape[1]
-    fp = f // parts
-    x = x_ref[...].astype(jnp.float32)
-    xh, inv = _ln_fwd(x)
-    ln = (xh * g_ref[...] + b_ref[...]).astype(dtype)
-    dy = dout_ref[...].astype(jnp.float32)
-    dyb = dy.astype(dtype)
-    db2_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
-
-    def zslice(p):
-        return jnp.dot(ln, w1_ref[:, p * fp:(p + 1) * fp],
-                       preferred_element_type=jnp.float32) \
-            + b1_ref[:, p * fp:(p + 1) * fp]
-
-    def dhraw(p):
-        return jax.lax.dot_general(
-            dyb, w2_ref[p * fp:(p + 1) * fp, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    def sink(p, z_p, draw_p, dln):
-        """VPU for slice p + its weight-grad matmuls; returns dln acc."""
-        h32, dgelu = _gelu_and_grad(z_p)
-        h = h32.astype(dtype)
-        dh32 = draw_p * dgelu
-        dh = dh32.astype(dtype)
-        dw2_ref[p * fp:(p + 1) * fp, :] += jax.lax.dot_general(
-            h, dyb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dw1_ref[:, p * fp:(p + 1) * fp] += jax.lax.dot_general(
-            ln, dh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        db1_ref[:, p * fp:(p + 1) * fp] += jnp.sum(dh32, axis=0,
-                                                   keepdims=True)
-        t = jax.lax.dot_general(dh, w1_ref[:, p * fp:(p + 1) * fp],
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return t if dln is None else dln + t
-
-    dln = None
-    z_p, draw_p = zslice(0), dhraw(0)
-    for p in range(parts):
-        if p + 1 < parts:  # issue slice p+1's MXU before slice p's VPU
-            z_n, draw_n = zslice(p + 1), dhraw(p + 1)
-        dln = sink(p, z_p, draw_p, dln)
-        if p + 1 < parts:
-            z_p, draw_p = z_n, draw_n
-    dg_ref[...] += jnp.sum(dln * xh, axis=0, keepdims=True)
-    db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
-    dxh = dln * g_ref[...]
-    dx_ref[...] = (dy + _ln_bwd_dx(dxh, xh, inv)).astype(dx_ref.dtype)
+# The F-split backward is the PRODUCTION kernel (vlp_tpu/ops/fused_block.py
+# _lnmlp_bwd_kernel_fsplit) — imported, not duplicated, so the benchmarked
+# variant can never drift from what ships (round-5 review finding).
+from vlp_tpu.ops.fused_block import _lnmlp_bwd_kernel_fsplit \
+    as mlp_bwd_kernel_fsplit  # noqa: E402
 
 
 def make_mlp_bwd(kernel, tm=TM, **kw):

@@ -10,8 +10,7 @@ scan, min of 3, forced fetch) and writes benchmarks/resnet50_probe.json:
 - baseline           cfg defaults (fp32 BatchNorm compute)
 - bn_bf16            trainer.bn_dtype=bf16 (skips the fp32 cast round trip
                      around all 53 BNs; stats/params stay fp32)
-- b256               batch 256 (does the step starve at 128?)
-- infer              eval_fn only, for the fwd/bwd split
+- b256 / b256_bn_bf16  batch 256 (does the step starve at 128?)
 
 Usage (real chip): python benchmarks/resnet50_probe.py
 """
@@ -94,12 +93,12 @@ def main() -> None:
 
     run("baseline")
     run("bn_bf16", bn_dtype="bf16")
-    try:
-        run("b256", b=256)
-        run("b256_bn_bf16", bn_dtype="bf16", b=256)
-    except Exception as e:  # OOM at 256 is itself a result
-        out["b256"] = {"error": str(e)[:200]}
-        print(f"b256 FAILED: {str(e)[:120]}", flush=True)
+    for name, dt in (("b256", "fp32"), ("b256_bn_bf16", "bf16")):
+        try:
+            run(name, bn_dtype=dt, b=256)
+        except Exception as e:  # OOM at 256 is itself a result
+            out[name] = {"error": str(e)[:200]}
+            print(f"{name} FAILED: {str(e)[:120]}", flush=True)
 
     path = os.path.join(REPO, "benchmarks", "resnet50_probe.json")
     with open(path, "w") as fh:

@@ -239,8 +239,10 @@ def main(argv=None) -> int:
                   flush=True)
             continue
         if done is not None:
-            print(f"[rehearsal] {name}: marker args changed; re-running",
-                  flush=True)
+            why = ("marker args/ckpt changed"
+                   if done.get("fingerprint") != row_fp
+                   else "test_eval.csv missing")
+            print(f"[rehearsal] {name}: {why}; re-running", flush=True)
         print(f"[rehearsal] {section} / {label} / {model}: {name} "
               f"({cfg.data.n_folds_downstream}-fold CV + frozen test)",
               flush=True)

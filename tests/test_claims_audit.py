@@ -31,7 +31,9 @@ REFERENCE_SIDE = {
     "scripts/train.py",
 }
 
-PATH_RE = re.compile(r"`([A-Za-z0-9_./-]+)`")
+# ':' included so `path/file.py:12` / `:12-34` citations are captured (the
+# line suffix is stripped below) — without it such claims were never checked
+PATH_RE = re.compile(r"`([A-Za-z0-9_./:-]+)`")
 
 
 def _claimed_paths(md_text):

@@ -219,3 +219,36 @@ def test_missing_monitor_warns_then_raises(tmp_path):
     tr = _make_trainer(cfg, tmp_path / "m")
     with pytest.raises(ValueError, match="nonexistent_metric"):
         tr.fit(max_epochs=3)
+
+
+def test_fold_fingerprint_tracks_warm_start_checkpoint_content(tmp_path):
+    """A regenerated warm-start checkpoint at the SAME path must change the
+    fold fingerprint (round-5 review finding: the path string alone let
+    fold{i}.done.json markers trained against OLD weights be silently
+    reused after the pretrain was re-run into the same directory)."""
+    from vlp_tpu.config import Config
+    from vlp_tpu.train.driver import _config_fingerprint
+
+    ckpt = tmp_path / "ckpt" / "epoch000"
+    ckpt.mkdir(parents=True)
+    (ckpt / "weights.bin").write_bytes(b"old-weights")
+
+    cfg = Config()
+    cfg.model.pretrained_ckpt = str(ckpt)
+    fp_old = _config_fingerprint(cfg)
+    assert fp_old == _config_fingerprint(cfg)  # stable across calls
+
+    # same path, new content (regenerated pretrain) -> new fingerprint
+    import os as _os
+
+    (ckpt / "weights.bin").write_bytes(b"new-weights-x")
+    _os.utime(ckpt / "weights.bin",
+              ns=(_os.stat(ckpt / "weights.bin").st_mtime_ns + 10 ** 9,) * 2)
+    assert _config_fingerprint(cfg) != fp_old
+
+    # orchestration-only flags stay excluded
+    cfg2 = Config()
+    cfg2.model.pretrained_ckpt = str(ckpt)
+    cfg2.resume_completed_folds = not cfg2.resume_completed_folds
+    cfg2.test = not cfg2.test
+    assert _config_fingerprint(cfg2) == _config_fingerprint(cfg)

@@ -155,18 +155,43 @@ def _linear_probe_callback(cfg: Config, mesh, downstream: DownstreamData,
     return probe, pak, fold
 
 
+def _ckpt_identity(path: str) -> list:
+    """Cheap identity of a checkpoint DIRECTORY'S CONTENT: sorted
+    (relpath, size, mtime_ns) of its files. A warm-start checkpoint
+    regenerated at the same path must invalidate fold markers — the path
+    string alone cannot distinguish old from new weights."""
+    ident = []
+    if path and os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                full = os.path.join(root, f)
+                try:
+                    st = os.stat(full)
+                except OSError:
+                    continue
+                ident.append((os.path.relpath(full, path),
+                              st.st_size, st.st_mtime_ns))
+    ident.sort()
+    return ident
+
+
 def _config_fingerprint(cfg: Config) -> str:
     """Stable hash of every config field that affects a fold's training
     result. `resume_completed_folds` and `test` are excluded (they control
     orchestration around the folds, not the folds themselves); everything
-    else — data scale, model, optimizer, pretrained_ckpt path — is in, so a
+    else — data scale, model, optimizer, pretrained_ckpt — is in, so a
     stale fold{i}.done.json written under different args is never reused
-    (round-4 advisor finding: silently mixing scales in one resumed run)."""
+    (round-4 advisor finding: silently mixing scales in one resumed run).
+    The warm-start checkpoint contributes its CONTENT identity (file
+    sizes + mtimes), not just its path: a pretrain regenerated at the
+    same path invalidates the folds trained against the old weights."""
     import hashlib
 
     d = cfg.to_dict()
     d.pop("resume_completed_folds", None)
     d.pop("test", None)
+    d["__pretrained_ckpt_identity__"] = _ckpt_identity(
+        getattr(cfg.model, "pretrained_ckpt", None))
     blob = json.dumps(d, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
