@@ -249,3 +249,23 @@ class TestProfilingAndHparams:
         cm = plot_confusion_matrix(rng.random(40), labels,
                                    str(tmp_path / "c.png"))
         assert cm.sum() == 40
+
+
+class TestEvalCliArgSplit:
+    def test_trailing_experiment_token_is_an_override_not_a_checkpoint(self):
+        """Greedy --checkpoints nargs='+' must not swallow `experiment=...`
+        (it silently evaluated under the DEFAULT config before round 5)."""
+        from vlp_tpu.eval.test_eval import split_overrides
+
+        cli, ov = split_overrides(
+            ["--output-file", "x.csv", "--checkpoints", "ck0", "ck1",
+             "experiment=smoke_synthetic_only_imaging",
+             "data.image_size=64"])
+        assert ov == ["experiment=smoke_synthetic_only_imaging",
+                      "data.image_size=64"]
+        assert cli == ["--output-file", "x.csv",
+                       "--checkpoints", "ck0", "ck1"]
+        # flags with '=' after '--' stay argparse's
+        cli2, ov2 = split_overrides(["--output-file=y.csv",
+                                     "--checkpoints", "ck"])
+        assert ov2 == [] and cli2[0] == "--output-file=y.csv"

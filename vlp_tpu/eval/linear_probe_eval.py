@@ -56,7 +56,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     vlp_cfg.model.task = "vision_language"
     mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name)
     ds_cfg = Config()
-    ds_cfg.data = cfg.downstream_data if cfg.data.name.startswith("pretrain") \
+    # a pretrain config's `data` is the CAPTION corpus — probe on its
+    # downstream_data instead ("pretrain" anywhere in the name: the
+    # synthetic_pretrain smoke previously fell through to the caption
+    # corpus branch and demanded the real dataset env vars)
+    ds_cfg.data = cfg.downstream_data if "pretrain" in cfg.data.name \
         else cfg.data
     ds_cfg.output_dir = cfg.output_dir
     dm = DownstreamData(ds_cfg, mesh)

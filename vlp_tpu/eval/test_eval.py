@@ -81,6 +81,16 @@ def _save_failures(df, dm: DownstreamData, out_dir: str, n: int) -> None:
         logger.warning("cv2 unavailable; skipping failure-image dump")
 
 
+def split_overrides(argv: List[str]) -> tuple:
+    """(cli_args, config_overrides): `key=value` tokens are config
+    overrides, everything else is argparse's. Split BEFORE argparse — the
+    greedy `--checkpoints` nargs="+" would otherwise swallow a trailing
+    `experiment=...` token as another checkpoint path and silently
+    evaluate under the DEFAULT config (round-5 verify finding)."""
+    overrides = [a for a in argv if "=" in a and not a.startswith("-")]
+    return [a for a in argv if a not in overrides], overrides
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import sys
 
@@ -93,7 +103,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--save-failures", default=None)
     parser.add_argument("--torchxrayvision", action="store_true",
                         help="1-channel scale-intensity normalization path")
-    args, overrides = parser.parse_known_args(argv)
+    cli, overrides = split_overrides(argv)
+    args = parser.parse_args(cli)
 
     cfg = apply_overrides(Config(), overrides)
     if args.torchxrayvision:
