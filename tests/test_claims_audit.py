@@ -31,15 +31,17 @@ REFERENCE_SIDE = {
     "scripts/train.py",
 }
 
-# ':' included so `path/file.py:12` / `:12-34` citations are captured (the
-# line suffix is stripped below) — without it such claims were never checked
-PATH_RE = re.compile(r"`([A-Za-z0-9_./:-]+)`")
+# ':' and ',' included so `file.py:12`, `:12-34`, and `:100,116` citations
+# are captured (the suffix is stripped below) — without them such claims
+# were never checked
+PATH_RE = re.compile(r"`([A-Za-z0-9_./:,-]+)`")
 
 
 def _claimed_paths(md_text):
     for tok in PATH_RE.findall(md_text):
-        # strip trailing :line / :line-line citations
-        tok = re.sub(r":[0-9-]+$", "", tok)
+        # strip trailing :line citations (12 / 12-34 / 100,116) and any
+        # bare trailing ':' (a backticked path introducing a list)
+        tok = re.sub(r":[0-9][0-9,-]*$", "", tok).rstrip(":,")
         if tok.startswith(CHECK_PREFIXES) and tok not in REFERENCE_SIDE:
             yield tok
 

@@ -269,3 +269,10 @@ class TestEvalCliArgSplit:
         cli2, ov2 = split_overrides(["--output-file=y.csv",
                                      "--checkpoints", "ck"])
         assert ov2 == [] and cli2[0] == "--output-file=y.csv"
+        # checkpoint PATHS containing '=' (sweep-style dirs) are NOT
+        # overrides — only dotted-identifier keys count
+        cli3, ov3 = split_overrides(
+            ["--checkpoints", "outputs/sweep/lr=0.001/fold0",
+             "experiment=foo"])
+        assert ov3 == ["experiment=foo"]
+        assert cli3 == ["--checkpoints", "outputs/sweep/lr=0.001/fold0"]

@@ -56,12 +56,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     vlp_cfg.model.task = "vision_language"
     mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name)
     ds_cfg = Config()
-    # a pretrain config's `data` is the CAPTION corpus — probe on its
-    # downstream_data instead ("pretrain" anywhere in the name: the
-    # synthetic_pretrain smoke previously fell through to the caption
-    # corpus branch and demanded the real dataset env vars)
-    ds_cfg.data = cfg.downstream_data if "pretrain" in cfg.data.name \
-        else cfg.data
+    # a VLP config's `data` is the CAPTION corpus — probe on its
+    # downstream_data instead. Branch on the TASK (the property actually
+    # meant) like train/driver.py does, with the same synthetic rewrite:
+    # name heuristics ("pretrain" in ...) drifted twice already.
+    if cfg.model.task == "vision_language":
+        import copy as _copy
+
+        ds_cfg.data = _copy.deepcopy(cfg.downstream_data)
+        if cfg.data.name.startswith("synthetic"):
+            ds_cfg.data.name = "synthetic_downstream"
+    else:
+        ds_cfg.data = cfg.data
+    ds_cfg.mesh = cfg.mesh  # keep user mesh overrides (loader shardings)
     ds_cfg.output_dir = cfg.output_dir
     dm = DownstreamData(ds_cfg, mesh)
 

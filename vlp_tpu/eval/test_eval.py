@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 from typing import List, Optional
 
 import jax
@@ -81,13 +82,19 @@ def _save_failures(df, dm: DownstreamData, out_dir: str, n: int) -> None:
         logger.warning("cv2 unavailable; skipping failure-image dump")
 
 
+_OVERRIDE_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*=")
+
+
 def split_overrides(argv: List[str]) -> tuple:
-    """(cli_args, config_overrides): `key=value` tokens are config
+    """(cli_args, config_overrides): `dotted.key=value` tokens are config
     overrides, everything else is argparse's. Split BEFORE argparse — the
     greedy `--checkpoints` nargs="+" would otherwise swallow a trailing
     `experiment=...` token as another checkpoint path and silently
-    evaluate under the DEFAULT config (round-5 verify finding)."""
-    overrides = [a for a in argv if "=" in a and not a.startswith("-")]
+    evaluate under the DEFAULT config (round-5 verify finding). Only
+    tokens whose KEY is a dotted identifier count: a checkpoint path like
+    `outputs/sweep/lr=0.001/fold0` contains '=' but has '/' before it,
+    so it stays a CLI argument."""
+    overrides = [a for a in argv if _OVERRIDE_RE.match(a)]
     return [a for a in argv if a not in overrides], overrides
 
 
