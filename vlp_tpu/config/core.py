@@ -156,11 +156,18 @@ class MeshConfig:
     """Device mesh. The reference is single-device; data parallelism over ICI
     is a new first-class component here (SURVEY.md §2 parallelism note)."""
 
-    data_parallel: int = -1  # -1 => all visible devices
+    data_parallel: int = -1  # -1 => all visible devices (after model axis)
     axis_name: str = "data"
-    infonce_impl: str = "gspmd"  # gspmd | shard_map
+    # > 1 builds a 2-D (data, model) mesh; combine with param_sharding=tp.
+    # Mosaic kernels fall back to their XLA paths under a 2-D mesh
+    # (kernel_gate shard_maps over 1-D data meshes only).
+    model_parallel: int = 1
+    model_axis_name: str = "model"
+    infonce_impl: str = "gspmd"  # gspmd | shard_map (shard_map: 1-D mesh)
     # replicated (plain DP) | fsdp (ZeRO-style: params + Adam moments
-    # sharded over the data axis; GSPMD all-gather/reduce-scatter).
+    # sharded over the data axis; GSPMD all-gather/reduce-scatter) |
+    # tp (tensor parallel: weights + moments sharded over the MODEL axis
+    # of a model_parallel>1 mesh; GSPMD partitions the matmuls/convs).
     # NOTE on CPU-simulated meshes: combine fsdp with trainer.scan_steps=1 —
     # the CPU SPMD partitioner compiles scanned FSDP programs very slowly.
     param_sharding: str = "replicated"

@@ -54,7 +54,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = apply_overrides(Config(), overrides)
     vlp_cfg = apply_overrides(Config(), overrides)
     vlp_cfg.model.task = "vision_language"
-    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name)
+    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name,
+                   model_parallel=cfg.mesh.model_parallel,
+                   model_axis_name=cfg.mesh.model_axis_name)
     ds_cfg = Config()
     # a VLP config's `data` is the CAPTION corpus — probe on its
     # downstream_data instead. Branch on the TASK (the property actually

@@ -20,22 +20,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(data_parallel: int = -1, axis_name: str = "data",
-                devices: Optional[Sequence] = None) -> Mesh:
+                devices: Optional[Sequence] = None,
+                model_parallel: int = 1,
+                model_axis_name: str = "model") -> Mesh:
+    """1-D data mesh, or a 2-D (data, model) mesh when
+    ``model_parallel > 1``: batches shard over the data axis, tensor-
+    parallel weights (``shard_train_state(..., "tp")``) over the model
+    axis — GSPMD partitions the matmuls/convs and inserts the forward
+    all-reduces (Megatron-style TP by annotation). ``data_parallel=-1``
+    uses all remaining devices after the model axis."""
     devices = list(devices if devices is not None else jax.devices())
+    mp = max(1, int(model_parallel))
+    if len(devices) % mp:
+        raise ValueError(
+            f"model_parallel={mp} does not divide {len(devices)} devices")
     if data_parallel in (-1, 0):  # 0 kept as 'all' for config back-compat
-        n = len(devices)
+        n = len(devices) // mp
     elif data_parallel < 0:
         raise ValueError(f"invalid data_parallel={data_parallel}")
     else:
         n = data_parallel
-    if n > len(devices):
+    if n * mp > len(devices):
         raise ValueError(
-            f"requested data_parallel={n} but only {len(devices)} devices")
+            f"requested data_parallel={n} x model_parallel={mp} but only "
+            f"{len(devices)} devices")
+    from vlp_tpu.ops.kernel_gate import set_kernel_mesh
+
+    if mp > 1:
+        mesh = Mesh(np.asarray(devices[:n * mp]).reshape(n, mp),
+                    (axis_name, model_axis_name))
+        # Mosaic kernels shard_map over a 1-D data mesh only; under a 2-D
+        # mesh they fall back to the (correct, auto-partitioned) XLA paths
+        set_kernel_mesh(None)
+        return mesh
     mesh = Mesh(np.asarray(devices[:n]).reshape(n), (axis_name,))
     # register as the process-wide kernel mesh: Pallas kernels shard_map
     # over it instead of falling back to XLA in multi-device processes
-    from vlp_tpu.ops.kernel_gate import set_kernel_mesh
-
     set_kernel_mesh(mesh, axis_name)
     return mesh
 
@@ -101,11 +121,44 @@ def fsdp_state_sharding(state, mesh: Mesh, axis_name: str = "data"):
     return jax.tree.map(rule, state)
 
 
+# -- Tensor parallelism (2-D dp x tp mesh) ---------------------------------
+#
+# Weights shard over the MODEL axis of a create_mesh(model_parallel=N)
+# mesh; GSPMD partitions every dot/conv that consumes a sharded weight and
+# inserts the forward all-reduces over the model axis (the scaling-book
+# "annotate and let XLA insert collectives" recipe). Unlike FSDP (which
+# all-gathers weights at use sites so COMPUTE stays replicated), TP runs
+# each matmul partitioned: compute AND weight memory scale over the model
+# axis. The per-leaf rule is the same largest-divisible-dim heuristic as
+# FSDP — correctness never depends on the chosen dim, only efficiency.
+
+
+def tp_state_sharding(state, mesh: Mesh, model_axis_name: str = "model"):
+    """TrainState-shaped NamedShardings: large params + optimizer moments
+    sharded over the model axis, small leaves replicated."""
+    mp = dict(zip(mesh.axis_names, mesh.devices.shape))[model_axis_name]
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        return NamedSharding(mesh, _fsdp_spec(shape, mp, model_axis_name))
+
+    return jax.tree.map(rule, state)
+
+
 def shard_train_state(state, mesh: Mesh, mode: str = "replicated",
-                      axis_name: str = "data"):
+                      axis_name: str = "data",
+                      model_axis_name: str = "model"):
     """Place a TrainState on the mesh. Returns (state, sharding_pytree)."""
     if mode == "fsdp":
         shardings = fsdp_state_sharding(state, mesh, axis_name)
+        return jax.tree.map(jax.device_put, state, shardings), shardings
+    if mode == "tp":
+        if model_axis_name not in mesh.axis_names:
+            raise ValueError(
+                f"param_sharding='tp' needs a mesh with a "
+                f"{model_axis_name!r} axis — create_mesh(model_parallel=N); "
+                f"got axes {mesh.axis_names}")
+        shardings = tp_state_sharding(state, mesh, model_axis_name)
         return jax.tree.map(jax.device_put, state, shardings), shardings
     repl = replicated(mesh)
     shardings = jax.tree.map(lambda _: repl, state)

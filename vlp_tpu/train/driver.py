@@ -219,8 +219,19 @@ def train(cfg: Config) -> Dict[str, float]:
             "fold (same weights + skipped epoch range -> invalid CV "
             "statistics). Resume the interrupted fold with "
             "k_fold_cross_validation=false, or drop ckpt_path.")
+    if cfg.mesh.model_parallel > 1 and cfg.mesh.infonce_impl == "shard_map":
+        raise ValueError(
+            "mesh.infonce_impl='shard_map' is written for a 1-D data mesh; "
+            "with mesh.model_parallel>1 use infonce_impl='gspmd' (GSPMD "
+            "partitions the contrastive matrix over both axes).")
+    if cfg.mesh.param_sharding == "tp" and cfg.mesh.model_parallel <= 1:
+        raise ValueError(
+            "mesh.param_sharding='tp' shards weights over the model axis — "
+            "set mesh.model_parallel>1 (2-D data x model mesh).")
     os.makedirs(cfg.output_dir, exist_ok=True)
-    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name)
+    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name,
+                       model_parallel=cfg.mesh.model_parallel,
+                       model_axis_name=cfg.mesh.model_axis_name)
     logger.info("Mesh: %s over %d devices", mesh.axis_names, mesh.size)
     dm = build_datamodule(cfg, mesh)
     is_vlp = cfg.model.task == "vision_language"

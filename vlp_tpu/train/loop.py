@@ -91,8 +91,8 @@ class Trainer:
 
             self.state, shardings = shard_train_state(
                 self.state, mesh, cfg.mesh.param_sharding,
-                cfg.mesh.axis_name)
-            if cfg.mesh.param_sharding == "fsdp":
+                cfg.mesh.axis_name, cfg.mesh.model_axis_name)
+            if cfg.mesh.param_sharding in ("fsdp", "tp"):
                 self.state_shardings = shardings
         self.train_step = make_train_step(task, self.tx, mesh,
                                           cfg.mesh.axis_name,
