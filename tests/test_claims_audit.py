@@ -39,8 +39,10 @@ PATH_RE = re.compile(r"`([A-Za-z0-9_./:,-]+)`")
 
 def _claimed_paths(md_text):
     for tok in PATH_RE.findall(md_text):
-        # strip trailing :line citations (12 / 12-34 / 100,116) and any
-        # bare trailing ':' (a backticked path introducing a list)
+        # strip pytest node ids (file.py::TestClass::test_name), trailing
+        # :line citations (12 / 12-34 / 100,116), and any bare trailing
+        # ':' (a backticked path introducing a list)
+        tok = tok.split("::", 1)[0]
         tok = re.sub(r":[0-9][0-9,-]*$", "", tok).rstrip(":,")
         if tok.startswith(CHECK_PREFIXES) and tok not in REFERENCE_SIDE:
             yield tok
