@@ -182,3 +182,20 @@ class TestShardedAugmentKernels:
                                       jnp.float32(30.0), cfg,
                                       dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(out_m), np.asarray(out_1))
+
+
+def test_set_kernel_mesh_quarantines_2d_mesh():
+    """A 2-D (data x model) mesh never becomes the kernel mesh: the kernel
+    shard_map specs assume every device is a data shard, so registering a
+    TP mesh (as the step factories do unconditionally) must leave kernels
+    on their XLA fallbacks — regression for step factories undoing
+    create_mesh's quarantine."""
+    mesh2d = create_mesh(model_parallel=2)
+    try:
+        assert active_kernel_mesh() == (None, None)  # create_mesh side
+        set_kernel_mesh(mesh2d, "data")  # what make_train_step does
+        assert active_kernel_mesh() == (None, None)
+        set_kernel_mesh(create_mesh())  # 1-D re-registers fine
+        assert active_kernel_mesh()[0] is not None
+    finally:
+        set_kernel_mesh(None)

@@ -435,23 +435,36 @@ class TestTensorParallel:
         cfg2.mesh.infonce_impl = "shard_map"
         with pytest.raises(ValueError, match="gspmd"):
             train(cfg2)
+        cfg3 = get_experiment("smoke_synthetic_only_imaging")
+        cfg3.output_dir = str(tmp_path)
+        cfg3.mesh.model_parallel = 2
+        cfg3.mesh.param_sharding = "fsdp"  # data-axis-only; model axis idle
+        with pytest.raises(ValueError, match="fsdp"):
+            train(cfg3)
 
     def test_trainer_e2e_under_tp(self, tmp_path):
         """The delivered driver path (train()) runs a full epoch on the
-        2-D (data=4, model=2) mesh with param_sharding=tp and produces
-        finite metrics — TP is a first-class Trainer mode, not just a
-        step-factory feature."""
+        2-D (data=4, model=2) mesh with param_sharding=tp and produces the
+        SAME epoch loss as the plain-DP run (fp32, identical seeds/data
+        order) — TP is a first-class Trainer mode whose math must match,
+        not just a step-factory feature that avoids NaN."""
         from vlp_tpu.config import get_experiment
         from vlp_tpu.train.driver import train
 
-        cfg = get_experiment("smoke_synthetic_only_imaging")
-        cfg.output_dir = str(tmp_path / "tp_run")
-        cfg.mesh.model_parallel = 2
-        cfg.mesh.param_sharding = "tp"
-        cfg.trainer.max_epochs = 1
-        cfg.trainer.scan_steps = 1  # see MeshConfig CPU-mesh note
-        agg = train(cfg)
-        loss_keys = [k for k in agg if k.endswith("train/loss_mean")]
-        assert loss_keys, sorted(agg)
-        val = agg[loss_keys[0]]
-        assert val == val, f"NaN loss under tp: {agg}"
+        def run(tag, **mesh_overrides):
+            cfg = get_experiment("smoke_synthetic_only_imaging")
+            cfg.output_dir = str(tmp_path / tag)
+            for k, v in mesh_overrides.items():
+                setattr(cfg.mesh, k, v)
+            cfg.trainer.max_epochs = 1
+            cfg.trainer.scan_steps = 1  # see MeshConfig CPU-mesh note
+            agg = train(cfg)
+            loss_keys = [k for k in agg if k.endswith("train/loss_mean")]
+            assert loss_keys, sorted(agg)
+            val = agg[loss_keys[0]]
+            assert val == val, f"NaN loss under {tag}: {agg}"
+            return val
+
+        dp = run("dp_run")
+        tp = run("tp_run", model_parallel=2, param_sharding="tp")
+        assert abs(dp - tp) < 1e-3, (dp, tp)

@@ -117,3 +117,39 @@ def test_one_device_mesh_uses_local_mode(monkeypatch):
                         mesh1)
     host._corpus = None
     _assert_batches_equal(list(host), rb)
+
+
+def test_resident_2d_mesh_shards_over_data_axis(monkeypatch):
+    """2-D (data=4, model=2) TP mesh: mode selection, the chunked
+    all_gather reshape, and batch divisibility must all use the DATA-axis
+    size (4), not mesh.size (8) — regression for the trace-time reshape
+    crash and the spurious batch-divisibility rejection under TP."""
+    from vlp_tpu.parallel.mesh import create_mesh
+
+    monkeypatch.setenv("VLP_DEVICE_RESIDENT_MB", "0.0005")
+    mesh = create_mesh(model_parallel=2)
+    try:
+        b = _bundle(24)
+        # batch 12 divides the 4-shard data axis but NOT the 8-device mesh
+        res = DeviceLoader(b, ShuffleBatchSampler(24, 12, seed=3), 12, mesh)
+        assert res._corpus is not None and res._corpus.mode == "sharded"
+        host = DeviceLoader(_bundle(24), ShuffleBatchSampler(24, 12, seed=3),
+                            12, mesh)
+        host._corpus = None
+        _assert_batches_equal(list(host), list(res))
+        # the [K, B] chunked gather (scan path) traces and matches too
+        host2 = DeviceLoader(_bundle(24), ShuffleBatchSampler(24, 12, seed=5),
+                             12, mesh)
+        host2._corpus = None
+        res2 = DeviceLoader(_bundle(24), ShuffleBatchSampler(24, 12, seed=5),
+                            12, mesh)
+        assert res2._corpus is not None and res2._corpus.mode == "sharded"
+        hk = list(host2.iter_scan_chunks(2))
+        rk = list(res2.iter_scan_chunks(2))
+        assert [k for k, _ in hk] == [k for k, _ in rk]
+        for (_, x), (_, y) in zip(hk, rk):
+            for k in x:
+                np.testing.assert_array_equal(np.asarray(x[k]),
+                                              np.asarray(y[k]), err_msg=k)
+    finally:
+        set_kernel_mesh(None)

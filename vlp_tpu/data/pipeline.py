@@ -24,6 +24,7 @@ import numpy as np
 
 from vlp_tpu.data.preprocess_host import ImageCache
 from vlp_tpu.data.sampler import pad_batch_indices
+from vlp_tpu.parallel.mesh import axis_size
 
 DATASET_IDS = {"INTERNAL": 0, "BTXRD": 1, "MURA": 0, "LERA": 1}
 
@@ -119,7 +120,8 @@ class ResidentCorpus:
     - ``replicated``: multi-device mesh, corpus fits per chip — stored
       P() over the mesh; each device gathers its own batch shard locally
       (idx sharded P(axis) -> output sharded P(axis), zero collectives).
-    - ``sharded``: corpus rows sharded P(axis) (1/mesh.size per chip);
+    - ``sharded``: corpus rows sharded P(axis) (1/data-axis-size per
+      chip — a 2-D mesh's model axis replicates the rows);
       gather runs under shard_map: all_gather the wanted indices, each
       shard contributes the rows it owns, psum_scatter hands every device
       its output block. Pixels ride ICI once (~B x img bytes per batch).
@@ -150,7 +152,7 @@ class ResidentCorpus:
             self._take_fn1 = self._take_fnk = take
             return
         assert mode == "sharded"
-        n = mesh.size
+        n = axis_size(mesh, axis_name)  # rows shard over the DATA axis only
         total = len(data)
         padded = total + (-total) % n  # rows must divide over the mesh
         rest = data.shape[1:]
@@ -184,7 +186,7 @@ class ResidentCorpus:
         from vlp_tpu.ops.kernel_gate import shard_map_compat
 
         axis = self.axis_name
-        n = self.mesh.size
+        n = axis_size(self.mesh, axis)  # data-axis shard count
         chunked = idx_dims == [None, 0]
 
         def body(imgs_local, idx_local):
@@ -273,7 +275,9 @@ def _resident_images(cache: ImageCache, mesh=None,
         mode = "local" if nbytes <= limit_mb * 1e6 else None
     elif nbytes <= limit_mb * 1e6:
         mode = "replicated"
-    elif nbytes / mesh.size <= limit_mb * 1e6:
+    # rows shard over the data axis only (a 2-D mesh's model axis holds
+    # replicas), so per-device bytes divide by the data-axis size
+    elif nbytes / axis_size(mesh, axis_name) <= limit_mb * 1e6:
         mode = "sharded"
     else:
         mode = None
@@ -326,11 +330,12 @@ class DeviceLoader:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if batch_size % mesh.size != 0:
+            n_data = axis_size(mesh, axis_name)
+            if batch_size % n_data != 0:
                 raise ValueError(
                     f"batch_size={batch_size} must be divisible by the "
-                    f"{mesh.size}-device data mesh (every device gets an "
-                    "equal shard; adjust data.batch_size/eval_batch_size or "
+                    f"{n_data}-shard data axis (every data shard gets an "
+                    "equal slice; adjust data.batch_size/eval_batch_size or "
                     "mesh.data_parallel)")
             self._sharding = NamedSharding(mesh, P(axis_name))
         else:

@@ -54,9 +54,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = apply_overrides(Config(), overrides)
     vlp_cfg = apply_overrides(Config(), overrides)
     vlp_cfg.model.task = "vision_language"
-    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name,
-                   model_parallel=cfg.mesh.model_parallel,
-                   model_axis_name=cfg.mesh.model_axis_name)
+    # eval params are always replicated and batches shard the data axis
+    # only, so a training override set carrying mesh.model_parallel>1 is
+    # deliberately NOT honored here: a 1-D data mesh over all devices uses
+    # every chip as a data shard instead of duplicating work on model-axis
+    # replicas (restore is sharding-agnostic — Orbax restores to the
+    # requested replicated sharding regardless of how the ckpt was saved)
+    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name)
     ds_cfg = Config()
     # a VLP config's `data` is the CAPTION corpus — probe on its
     # downstream_data instead. Branch on the TASK (the property actually

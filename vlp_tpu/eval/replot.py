@@ -84,9 +84,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     argv = list(argv if argv is not None else sys.argv[1:])
     root = argv[0]
     cfg = apply_overrides(Config(), argv[1:])
-    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name,
-                   model_parallel=cfg.mesh.model_parallel,
-                   model_axis_name=cfg.mesh.model_axis_name)
+    # 1-D data mesh regardless of mesh.model_parallel overrides: eval
+    # params are replicated, so model-axis devices would be pure replicas
+    # (see linear_probe_eval.py for the full rationale)
+    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name)
     runs = [d for d in glob.glob(os.path.join(root, "*"))
             if os.path.isdir(os.path.join(d, "checkpoints"))] or [root]
     for run in runs:

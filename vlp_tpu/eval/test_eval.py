@@ -117,9 +117,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.torchxrayvision:
         cfg.data.in_channels = 1
         cfg.data.scale_intensity_normalization = True
-    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name,
-                   model_parallel=cfg.mesh.model_parallel,
-                   model_axis_name=cfg.mesh.model_axis_name)
+    # 1-D data mesh regardless of mesh.model_parallel overrides: eval
+    # params are replicated, so model-axis devices would be pure replicas
+    # (see linear_probe_eval.py for the full rationale)
+    mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name)
     dm = DownstreamData(cfg, mesh)
     dfs = []
     for fold, path in enumerate(args.checkpoints):

@@ -33,8 +33,18 @@ _KERNEL_MESH: Optional[Tuple] = None
 
 def set_kernel_mesh(mesh, axis_name: str = "data") -> None:
     """Register the process-wide mesh kernels shard_map over. Idempotent;
-    called from ``create_mesh`` and the step factories."""
+    called from ``create_mesh`` and the step factories.
+
+    Only 1-D data meshes are ever registered: the kernel shard_map specs
+    (P(axis) over dim 0, weights P()) assume every device is a data shard.
+    On a 2-D (data x model) mesh those specs would force-gather the
+    TP-sharded weights and mis-size supports() checks, so a non-1-D mesh
+    registers None here and kernels take their XLA fallbacks (which GSPMD
+    partitions correctly over both axes). Centralized in the setter so
+    step factories can't re-engage kernels create_mesh quarantined."""
     global _KERNEL_MESH
+    if mesh is not None and len(mesh.axis_names) != 1:
+        mesh = None
     _KERNEL_MESH = None if mesh is None else (mesh, axis_name)
 
 

@@ -60,6 +60,14 @@ def create_mesh(data_parallel: int = -1, axis_name: str = "data",
     return mesh
 
 
+def axis_size(mesh: Mesh, axis_name: str = "data") -> int:
+    """Size of one named mesh axis. Batches/corpus rows shard over the
+    DATA axis only, so divisibility and per-device-memory math must use
+    this — ``mesh.size`` over-counts by the model_parallel factor on a
+    2-D mesh."""
+    return dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Leading-axis (batch) sharding."""
     return NamedSharding(mesh, P(axis_name))
@@ -111,14 +119,23 @@ def _fsdp_spec(shape, mesh_size: int, axis_name: str):
     return P(*spec)
 
 
-def fsdp_state_sharding(state, mesh: Mesh, axis_name: str = "data"):
-    """A TrainState-shaped pytree of NamedShardings: params and optimizer
-    moments sharded per _fsdp_spec, everything small replicated."""
+def _axis_state_sharding(state, mesh: Mesh, axis_name: str):
+    """TrainState-shaped pytree of NamedShardings: large params + optimizer
+    moments sharded per _fsdp_spec over ONE named axis (divisor = that
+    axis's size, not mesh.size), small leaves replicated. Shared leaf rule
+    for fsdp (data axis) and tp (model axis)."""
+    n = axis_size(mesh, axis_name)
+
     def rule(leaf):
         shape = getattr(leaf, "shape", ())
-        return NamedSharding(mesh, _fsdp_spec(shape, mesh.size, axis_name))
+        return NamedSharding(mesh, _fsdp_spec(shape, n, axis_name))
 
     return jax.tree.map(rule, state)
+
+
+def fsdp_state_sharding(state, mesh: Mesh, axis_name: str = "data"):
+    """Params and Adam moments ZeRO-sharded over the data axis."""
+    return _axis_state_sharding(state, mesh, axis_name)
 
 
 # -- Tensor parallelism (2-D dp x tp mesh) ---------------------------------
@@ -134,15 +151,8 @@ def fsdp_state_sharding(state, mesh: Mesh, axis_name: str = "data"):
 
 
 def tp_state_sharding(state, mesh: Mesh, model_axis_name: str = "model"):
-    """TrainState-shaped NamedShardings: large params + optimizer moments
-    sharded over the model axis, small leaves replicated."""
-    mp = dict(zip(mesh.axis_names, mesh.devices.shape))[model_axis_name]
-
-    def rule(leaf):
-        shape = getattr(leaf, "shape", ())
-        return NamedSharding(mesh, _fsdp_spec(shape, mp, model_axis_name))
-
-    return jax.tree.map(rule, state)
+    """Params and Adam moments sharded over the model axis."""
+    return _axis_state_sharding(state, mesh, model_axis_name)
 
 
 def shard_train_state(state, mesh: Mesh, mode: str = "replicated",

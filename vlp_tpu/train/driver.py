@@ -228,6 +228,12 @@ def train(cfg: Config) -> Dict[str, float]:
         raise ValueError(
             "mesh.param_sharding='tp' shards weights over the model axis — "
             "set mesh.model_parallel>1 (2-D data x model mesh).")
+    if cfg.mesh.param_sharding == "fsdp" and cfg.mesh.model_parallel > 1:
+        raise ValueError(
+            "mesh.param_sharding='fsdp' shards over the data axis and "
+            "never uses the model axis — model_parallel>1 would leave the "
+            "model-axis devices as pure replicas. Use param_sharding='tp' "
+            "on a 2-D mesh, or fsdp with model_parallel=1.")
     os.makedirs(cfg.output_dir, exist_ok=True)
     mesh = create_mesh(cfg.mesh.data_parallel, cfg.mesh.axis_name,
                        model_parallel=cfg.mesh.model_parallel,
