@@ -79,12 +79,14 @@ def test_pipeline_grads_match_sequential(block_setup):
     g_pipe = jax.jit(jax.grad(loss_pipe))(stacked)
     g_seq = stack_stage_params(jax.grad(loss_seq)(params), STAGES)
     flat_p, flat_s = jax.tree.leaves(g_pipe), jax.tree.leaves(g_seq)
-    # absolute floor: the attention key bias grad is mathematically zero
-    # (softmax shift invariance), so both sides are roundoff noise there
-    worst = max(float(jnp.abs(a - b).max() /
-                      jnp.maximum(jnp.abs(b).max(), 1e-4))
-                for a, b in zip(flat_p, flat_s))
-    assert worst < 1e-4, f"pipeline grad divergence {worst}"
+    # atol floor: the attention key bias grad is mathematically zero
+    # (softmax shift invariance), so both sides are ~1e-6 roundoff noise
+    # there and a purely relative check would compare noise to noise
+    for a, b in zip(flat_p, flat_s):
+        diff = float(jnp.abs(a - b).max())
+        scale = float(jnp.abs(b).max())
+        assert diff <= 1e-5 + 1e-4 * scale, \
+            f"pipeline grad divergence {diff} (leaf scale {scale})"
 
 
 def test_pipeline_composes_with_data_parallel(block_setup):
