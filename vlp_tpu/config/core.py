@@ -142,6 +142,12 @@ class TrainerConfig:
     # RNG + loop counters) enabling exact resume via ckpt_path — the
     # analogue of Lightning's resume (reference src/train.py:171).
     save_last: bool = True
+    # Write checkpoints (best + last) asynchronously: Orbax commits in a
+    # background thread that overlaps the next epoch's training; the meta
+    # sidecar and old-best deletion are deferred to the commit barrier, and
+    # Trainer.fit() awaits all writes before returning. fp32=off gives the
+    # reference's synchronous Lightning semantics.
+    async_checkpointing: bool = True
     # K training steps per jitted dispatch (lax.scan over stacked batches);
     # 1 = per-step dispatch. >1 amortizes host->device dispatch latency
     # (~290ms over the remote PJRT tunnel, docs/DESIGN.md §3).

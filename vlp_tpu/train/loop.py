@@ -129,8 +129,16 @@ class Trainer:
                     task, self.eval_scan_k, mesh, cfg.mesh.axis_name)
         self.checkpointer = (
             Checkpointer(checkpoint_dir, cfg.trainer.checkpoint_monitor,
-                         cfg.trainer.checkpoint_mode)
+                         cfg.trainer.checkpoint_mode,
+                         async_write=cfg.trainer.async_checkpointing)
             if checkpoint_dir else None)
+        self._last_saver = None
+        if cfg.trainer.save_last and checkpoint_dir:
+            from vlp_tpu.utils.checkpoint import LastStateSaver
+
+            self._last_saver = LastStateSaver(
+                f"{checkpoint_dir}/last",
+                async_write=cfg.trainer.async_checkpointing)
         self.early_stopping = (
             EarlyStopping(cfg.trainer.early_stopping_monitor,
                           cfg.trainer.early_stopping_mode,
@@ -253,15 +261,17 @@ class Trainer:
                 self.checkpointer.maybe_save(
                     metrics, state_to_tree(self.state), epoch,
                     meta=self._loop_meta(epoch))
-            if cfg.trainer.save_last and self.checkpoint_dir:
-                from vlp_tpu.utils.checkpoint import save_train_state
-
-                save_train_state(
-                    f"{self.checkpoint_dir}/last", self.state,
-                    meta=self._loop_meta(epoch))
+            if self._last_saver is not None:
+                self._last_saver.save(self.state, meta=self._loop_meta(epoch))
             last_metrics = metrics
             if self.early_stopping and self.early_stopping.should_stop:
                 break
+        # Commit barrier: async checkpoint writes must be durable before
+        # fit() returns (the driver reads best/'last' right after).
+        if self.checkpointer:
+            self.checkpointer.wait()
+        if self._last_saver is not None:
+            self._last_saver.wait()
         if not monitor_seen and last_metrics:
             # runs shorter than the grace window still fail loudly on a
             # typo'd monitor instead of completing with zero checkpoints

@@ -23,21 +23,64 @@ logger = get_logger(__name__)
 
 
 class Checkpointer:
-    """save_top_k=1 best-metric checkpointing."""
+    """save_top_k=1 best-metric checkpointing.
 
-    def __init__(self, directory: str, monitor: str, mode: str = "max") -> None:
+    With ``async_write`` (default) the Orbax write runs in a background
+    thread and overlaps the next epoch's training: ``save`` returns once the
+    arrays are copied to host, and the commit is awaited lazily — before the
+    NEXT write, or at :meth:`wait` (the Trainer calls it when ``fit``
+    returns, so readers after ``fit`` always see committed files). The meta
+    sidecar and the old-best deletion are deferred to that same commit
+    barrier, so a crash mid-write never leaves a sidecar without its body or
+    zero checkpoints on disk. TPU idiom: checkpoint I/O must never stall the
+    device (the reference's Lightning ModelCheckpoint writes synchronously,
+    configs/callbacks/model_checkpoint_*.yaml).
+    """
+
+    def __init__(self, directory: str, monitor: str, mode: str = "max",
+                 async_write: bool = True) -> None:
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
+        self.async_write = async_write
         self.best: Optional[float] = None
         self.best_path: Optional[str] = None
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending_delete: Optional[str] = None
+        self._pending_meta: Optional[Dict] = None
+        self._pending_meta_path: Optional[str] = None
 
     def improved(self, value: float) -> bool:
         if self.best is None:
             return True
         return value > self.best if self.mode == "max" else value < self.best
+
+    def _commit(self) -> None:
+        """Await the in-flight write, then apply its deferred side effects
+        (meta sidecar, old-best deletion) in commit order."""
+        self._ckptr.wait_until_finished()
+        if self._pending_meta is not None:
+            import json
+
+            with open(self._pending_meta_path, "w") as fh:
+                json.dump(self._pending_meta, fh)
+            self._pending_meta = None
+            self._pending_meta_path = None
+        if self._pending_delete is not None:
+            import shutil
+
+            old = self._pending_delete
+            self._pending_delete = None
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(old + ".meta.json"):
+                os.remove(old + ".meta.json")
+
+    def wait(self) -> None:
+        """Barrier: returns only when the last write is durable on disk and
+        its sidecar/deletion side effects are applied."""
+        self._commit()
 
     def maybe_save(self, metrics: Dict[str, float], state_tree: Any,
                    epoch: int, meta: Optional[Dict] = None) -> bool:
@@ -49,35 +92,69 @@ class Checkpointer:
         value = float(metrics[self.monitor])
         if not self.improved(value):
             return False
+        self._commit()  # serialize with any in-flight write
         old = self.best_path
         self.best = value
         safe = self.monitor.replace("/", "_")
         self.best_path = os.path.join(
             self.directory, f"epoch{epoch:03d}_{safe}{value:.4f}")
         self._ckptr.save(self.best_path, state_tree, force=True)
-        self._ckptr.wait_until_finished()
         if meta is not None:
-            import json
-
             meta = dict(meta)
             meta["checkpoint_best"] = value
             meta["checkpoint_best_path"] = self.best_path
-            with open(self.best_path + ".meta.json", "w") as fh:
-                json.dump(meta, fh)
-        if old and os.path.exists(old):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.exists(old + ".meta.json"):
-                os.remove(old + ".meta.json")
-        logger.info("Checkpoint: new best %s=%.4f -> %s", self.monitor,
-                    value, self.best_path)
+            self._pending_meta = meta
+            self._pending_meta_path = self.best_path + ".meta.json"
+        if old:
+            self._pending_delete = old
+        if not self.async_write:
+            self._commit()
+        logger.info("Checkpoint: new best %s=%.4f -> %s%s", self.monitor,
+                    value, self.best_path,
+                    " (async)" if self.async_write else "")
         return True
 
     def restore_best(self, example_tree: Any) -> Any:
         if self.best_path is None:
             raise RuntimeError("no checkpoint saved yet")
+        self._commit()
         return restore(self.best_path, example_tree)
+
+
+class LastStateSaver:
+    """Per-epoch full-state ``last`` checkpoint (exact resume), written
+    asynchronously on a persistent Orbax checkpointer. The write overlaps
+    the next epoch; the meta sidecar is written only after the body commits
+    (a crash mid-write leaves the previous epoch's consistent pair, never a
+    sidecar pointing at a torn body). The Trainer awaits :meth:`wait` when
+    ``fit`` returns. Reference analogue: Lightning's ``save_last``
+    (reference src/train.py:171, configs/train.yaml:53)."""
+
+    def __init__(self, path: str, async_write: bool = True) -> None:
+        self.path = os.path.abspath(path)
+        self.async_write = async_write
+        self._ckptr = ocp.StandardCheckpointer()
+        self._pending_meta: Optional[Dict] = None
+
+    def _commit(self) -> None:
+        self._ckptr.wait_until_finished()
+        if self._pending_meta is not None:
+            import json
+
+            with open(self.path + ".meta.json", "w") as fh:
+                json.dump(self._pending_meta, fh)
+            self._pending_meta = None
+
+    def wait(self) -> None:
+        self._commit()
+
+    def save(self, state, meta: Optional[Dict] = None) -> str:
+        self._commit()  # serialize with the previous epoch's write
+        self._ckptr.save(self.path, state_to_tree(state), force=True)
+        self._pending_meta = dict(meta) if meta is not None else None
+        if not self.async_write:
+            self._commit()
+        return self.path
 
 
 # --------------------------------------------------------------------------
